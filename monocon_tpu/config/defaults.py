@@ -1,0 +1,142 @@
+"""Configuration tree for monocon_tpu.
+
+Key-compatible with the reference yacs tree (reference:
+``config/monocon_configs.py:4-64``) so existing YAML override files keep
+working, but implemented on a plain attribute-dict core (no yacs dependency).
+TPU-specific knobs live under ``TPU.*`` and are additive.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict
+
+import yaml
+
+
+class ConfigNode(dict):
+    """A dict with attribute access and recursive merge, yacs-compatible
+    enough for this project's config files."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def clone(self) -> "ConfigNode":
+        return copy.deepcopy(self)
+
+    def merge_from_dict(self, other: Dict[str, Any]) -> None:
+        for k, v in other.items():
+            if isinstance(v, dict) and isinstance(self.get(k), ConfigNode):
+                self[k].merge_from_dict(v)
+            elif isinstance(v, dict):
+                self[k] = _to_node(v)
+            else:
+                self[k] = v
+
+    def merge_from_file(self, path: str) -> None:
+        with open(path) as f:
+            data = yaml.safe_load(f)
+        if data:
+            self.merge_from_dict(data)
+
+    def to_plain_dict(self) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        for k, v in self.items():
+            out[k] = v.to_plain_dict() if isinstance(v, ConfigNode) else v
+        return out
+
+    def dump(self) -> str:
+        return yaml.safe_dump(self.to_plain_dict(), default_flow_style=False)
+
+
+def _to_node(d: Dict[str, Any]) -> ConfigNode:
+    node = ConfigNode()
+    for k, v in d.items():
+        node[k] = _to_node(v) if isinstance(v, dict) else v
+    return node
+
+
+_DEFAULTS: Dict[str, Any] = {
+    "VERSION": "tpu-v0.1.0",
+    "DESCRIPTION": "MonoCon-TPU Default Configuration",
+    "OUTPUT_DIR": "",
+    "SEED": -1,
+    "GPU_ID": 0,  # kept for config-file compatibility; unused on TPU
+    "USE_BENCHMARK": True,  # kept for compatibility; XLA autotunes convs itself
+    "DATA": {
+        "ROOT": "/data/kitti",
+        "BATCH_SIZE": 8,
+        "NUM_WORKERS": 4,
+        "TRAIN_SPLIT": "train",
+        "TEST_SPLIT": "val",
+        "FILTER": {
+            "MIN_HEIGHT": 25,
+            "MIN_DEPTH": 2,
+            "MAX_DEPTH": 65,
+            "MAX_TRUNCATION": 0.5,
+            "MAX_OCCLUSION": 2,
+        },
+    },
+    "MODEL": {
+        "BACKBONE": {
+            "NUM_LAYERS": 34,
+            "IMAGENET_PRETRAINED": True,
+        },
+        "HEAD": {
+            "NUM_CLASSES": 3,
+            "MAX_OBJS": 30,
+        },
+    },
+    "SOLVER": {
+        "OPTIM": {
+            "LR": 2.25e-4,
+            "WEIGHT_DECAY": 1e-5,
+            "NUM_EPOCHS": 200,
+        },
+        "SCHEDULER": {
+            "ENABLE": True,
+        },
+        "CLIP_GRAD": {
+            "ENABLE": True,
+            "NORM_TYPE": 2.0,
+            "MAX_NORM": 35,
+        },
+    },
+    "PERIOD": {
+        "EVAL_PERIOD": 10,
+        "LOG_PERIOD": 50,
+    },
+    # TPU-native knobs (additive over the reference key tree).
+    "TPU": {
+        "COMPUTE_DTYPE": "float32",  # 'bfloat16' for max MXU throughput
+        "DATA_AXIS": "data",          # mesh axis name for data parallelism
+        "NUM_DEVICES": -1,            # -1: all local devices
+        "PREFETCH_BATCHES": 2,        # host->device prefetch depth
+        "SYNC_BATCH_NORM": True,      # cross-replica BN statistics under dp
+    },
+}
+
+
+def get_default_cfg() -> ConfigNode:
+    """Reference parity: ``utils/engine_utils.py:38-40``."""
+    return _to_node(_DEFAULTS)
+
+
+def load_cfg(cfg_file: str) -> ConfigNode:
+    """Reference parity: ``utils/engine_utils.py:42-46`` (merge YAML over
+    defaults, new keys allowed)."""
+    cfg = get_default_cfg()
+    cfg.merge_from_file(cfg_file)
+    return cfg
+
+
+def export_cfg(cfg: ConfigNode, save_path: str) -> None:
+    """Reference parity: ``utils/engine_utils.py:49-52``."""
+    with open(save_path, "w") as f:
+        f.write(cfg.dump())

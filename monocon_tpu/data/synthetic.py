@@ -1,0 +1,201 @@
+"""Synthetic mini-KITTI dataset generator (for tests and benchmarks).
+
+Writes a directory tree with the real KITTI layout::
+
+    root/training/{image_2,calib,label_2}/XXXXXX.{png,txt,txt}
+    root/ImageSets/{train,val,trainval,test}.txt
+
+The reference repo has no test fixtures at all (SURVEY.md §4); this module is
+the foundation of the from-scratch test strategy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+# A realistic KITTI P2 (values in the ballpark of the real sequences).
+DEFAULT_P2 = np.array(
+    [
+        [721.5377, 0.0, 609.5593, 44.85728],
+        [0.0, 721.5377, 172.854, 0.2163791],
+        [0.0, 0.0, 1.0, 0.002745884],
+    ],
+    dtype=np.float32,
+)
+
+DEFAULT_IMAGE_HW = (375, 1242)
+
+
+def make_calib_text(p2: Optional[np.ndarray] = None) -> str:
+    p2 = DEFAULT_P2 if p2 is None else p2
+    p0 = p2.copy()
+    p0[0, 3] = 0.0
+    p0[1, 3] = 0.0
+    p0[2, 3] = 0.0
+    p1 = p0.copy()
+    p1[0, 3] = -387.5744
+    p3 = p0.copy()
+    p3[0, 3] = -339.5
+    r0 = np.eye(3, dtype=np.float32)
+    v2c = np.array(
+        [
+            [7.53e-03, -9.99e-01, -6.17e-04, -4.07e-03],
+            [1.48e-02, 7.28e-04, -9.99e-01, -7.63e-02],
+            [9.99e-01, 7.52e-03, 1.48e-02, -2.72e-01],
+        ],
+        dtype=np.float32,
+    )
+    i2v = np.array(
+        [
+            [9.99e-01, 7.55e-03, -2.03e-03, -8.09e-01],
+            [-7.85e-03, 9.98e-01, -5.32e-02, 3.20e-01],
+            [2.02e-03, 5.32e-02, 9.98e-01, -7.99e-01],
+        ],
+        dtype=np.float32,
+    )
+
+    def fmt(name, mat):
+        return name + ": " + " ".join(f"{v:.12e}" for v in mat.flatten())
+
+    return "\n".join(
+        [
+            fmt("P0", p0),
+            fmt("P1", p1),
+            fmt("P2", p2),
+            fmt("P3", p3),
+            fmt("R0_rect", r0),
+            fmt("Tr_velo_to_cam", v2c),
+            fmt("Tr_imu_to_velo", i2v),
+        ]
+    ) + "\n"
+
+
+def make_label_line(
+    name: str = "Car",
+    truncated: float = 0.0,
+    occluded: int = 0,
+    alpha: float = -0.2,
+    bbox: Sequence[float] = (390.0, 180.0, 510.0, 250.0),
+    dim_hwl: Sequence[float] = (1.5, 1.7, 4.1),
+    loc: Sequence[float] = (-2.0, 1.8, 25.0),
+    ry: float = -0.3,
+    score: Optional[float] = None,
+) -> str:
+    parts = [
+        name,
+        f"{truncated:.2f}",
+        f"{occluded:d}",
+        f"{alpha:.2f}",
+        *[f"{v:.2f}" for v in bbox],
+        *[f"{v:.2f}" for v in dim_hwl],
+        *[f"{v:.2f}" for v in loc],
+        f"{ry:.2f}",
+    ]
+    if score is not None:
+        parts.append(f"{score:.4f}")
+    return " ".join(parts)
+
+
+def random_scene_labels(rng: np.ndarray, num_objects: int, p2: np.ndarray,
+                        image_hw=DEFAULT_IMAGE_HW) -> List[str]:
+    """Generate physically consistent labels: sample 3D boxes, derive the 2D
+    box from the projected corners so geometry round-trips in tests."""
+    from .geometry import boxes3d_to_corners, corners_to_image_bbox
+
+    names = ["Car", "Pedestrian", "Cyclist"]
+    dims = {
+        "Car": (1.55, 1.65, 4.0),
+        "Pedestrian": (1.75, 0.6, 0.85),
+        "Cyclist": (1.72, 0.6, 1.76),
+    }
+    lines = []
+    for _ in range(num_objects):
+        name = names[int(rng.integers(0, 3))]
+        h, w, l = dims[name]
+        h *= float(rng.uniform(0.9, 1.1))
+        w *= float(rng.uniform(0.9, 1.1))
+        l *= float(rng.uniform(0.9, 1.1))
+        z = float(rng.uniform(6.0, 55.0))
+        x = float(rng.uniform(-0.04, 0.04)) * z * 10.0
+        y = float(rng.uniform(1.4, 2.0))
+        ry = float(rng.uniform(-np.pi, np.pi))
+        loc = np.array([[x, y, z]])
+        corners = boxes3d_to_corners(loc, np.array([[l, h, w]]), np.array([ry]))
+        bbox = corners_to_image_bbox(corners, p2)[0]
+        bbox[0::2] = np.clip(bbox[0::2], 0, image_hw[1])
+        bbox[1::2] = np.clip(bbox[1::2], 0, image_hw[0])
+        if (bbox[2] - bbox[0]) < 8 or (bbox[3] - bbox[1]) < 8:
+            continue
+        alpha = ry - float(np.arctan2(x, z))
+        lines.append(
+            make_label_line(
+                name=name,
+                truncated=float(rng.uniform(0, 0.12)),
+                occluded=int(rng.integers(0, 2)),
+                alpha=alpha,
+                bbox=bbox,
+                dim_hwl=(h, w, l),
+                loc=(x, y, z),
+                ry=ry,
+            )
+        )
+    if not lines:  # always have at least one easy car
+        lines = [make_label_line()]
+    # A DontCare region, as in real KITTI files.
+    lines.append(
+        "DontCare -1 -1 -10 500.00 170.00 590.00 190.00 -1 -1 -1 -1000 -1000 -1000 -10"
+    )
+    return lines
+
+
+def generate_kitti_dataset(
+    root: str,
+    num_train: int = 4,
+    num_val: int = 2,
+    image_hw=DEFAULT_IMAGE_HW,
+    max_objects: int = 6,
+    seed: int = 0,
+) -> None:
+    """Write a synthetic KITTI tree with `num_train + num_val` samples."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    training = os.path.join(root, "training")
+    for sub in ("image_2", "calib", "label_2"):
+        os.makedirs(os.path.join(training, sub), exist_ok=True)
+    os.makedirs(os.path.join(root, "ImageSets"), exist_ok=True)
+
+    total = num_train + num_val
+    ids = [f"{i:06d}" for i in range(total)]
+    for sample_id in ids:
+        img = rng.integers(0, 255, size=(*image_hw, 3), dtype=np.uint8)
+        cv2.imwrite(os.path.join(training, "image_2", f"{sample_id}.png"), img)
+        with open(os.path.join(training, "calib", f"{sample_id}.txt"), "w") as f:
+            f.write(make_calib_text())
+        n_obj = int(rng.integers(1, max_objects + 1))
+        lines = random_scene_labels(rng, n_obj, DEFAULT_P2, image_hw)
+        with open(os.path.join(training, "label_2", f"{sample_id}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    with open(os.path.join(root, "ImageSets", "train.txt"), "w") as f:
+        f.write("\n".join(ids[:num_train]) + "\n")
+    with open(os.path.join(root, "ImageSets", "val.txt"), "w") as f:
+        f.write("\n".join(ids[num_train:]) + "\n")
+    with open(os.path.join(root, "ImageSets", "trainval.txt"), "w") as f:
+        f.write("\n".join(ids) + "\n")
+    # 'test' split points at the same images, mirroring KITTI's testing/ dir.
+    testing = os.path.join(root, "testing")
+    for sub in ("image_2", "calib"):
+        os.makedirs(os.path.join(testing, sub), exist_ok=True)
+        src_dir = os.path.join(training, sub)
+        for sample_id in ids[num_train:]:
+            ext = "png" if sub == "image_2" else "txt"
+            src = os.path.join(src_dir, f"{sample_id}.{ext}")
+            dst = os.path.join(testing, sub, f"{sample_id}.{ext}")
+            with open(src, "rb") as fs, open(dst, "wb") as fd:
+                fd.write(fs.read())
+    with open(os.path.join(root, "ImageSets", "test.txt"), "w") as f:
+        f.write("\n".join(ids[num_train:]) + "\n")

@@ -1,0 +1,22 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Real-TPU behavior is exercised by bench.py and the driver's compile checks;
+unit tests must be hermetic and fast.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
