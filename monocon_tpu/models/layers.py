@@ -1,0 +1,158 @@
+"""Shared model building blocks (Flax linen, NHWC).
+
+BatchNorm momentum note: torch updates running stats as
+``running = (1 - m_torch) * running + m_torch * batch``; flax as
+``running = m_flax * running + (1 - m_flax) * batch`` — so
+``m_flax = 1 - m_torch`` (torch 0.1 -> flax 0.9, torch 0.03 -> flax 0.97).
+
+Under data parallelism with jit+NamedSharding the batch reductions inside
+BatchNorm are global (XLA inserts the collectives), so cross-replica
+"sync BN" comes for free — no axis_name plumbing required.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# torch BatchNorm2d defaults used across the backbone/neck (momentum=0.1).
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+def he_normal_conv_init(key, shape, dtype=jnp.float32):
+    """Reference conv init: N(0, sqrt(2 / (kh*kw*out_ch)))
+    (model/backbone/dla.py:264-269, dla_neck.py:74-80)."""
+    kh, kw, _, out_ch = shape
+    std = jnp.sqrt(2.0 / (kh * kw * out_ch))
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class ConvBnRelu(nn.Module):
+    """3x3/any conv -> BN -> ReLU block (reference ``Conv2dBlock``,
+    dla_neck.py:11-35, and the DLA stem/level convs)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = self.dilation * (self.kernel_size // 2)
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=[(pad, pad), (pad, pad)],
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            kernel_init=he_normal_conv_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return nn.relu(x)
+
+
+def hsigmoid_v2(x: jnp.ndarray) -> jnp.ndarray:
+    """relu6(x + 3) / 6 (reference ``HSigmoidv2``, attentive_norm.py:12-21)."""
+    return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+class AttnWeights(nn.Module):
+    """Instance attention over K affine transforms (attn_mode=0, RSD pooling).
+
+    Parity: reference ``AttnWeights`` (model/norm/attentive_norm.py:24-112):
+    y = mean(x) * rsqrt(var(x) + eps) over spatial dims, then
+    1x1 conv (no bias) -> BN -> hard-sigmoid. Returns (B, K).
+    """
+
+    num_affine: int
+    eps_var: float = 1e-3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # RSD pooling over H, W. torch.var_mean uses the unbiased estimator.
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        n = x.shape[1] * x.shape[2]
+        var = jnp.var(x, axis=(1, 2), keepdims=True) * (n / max(n - 1, 1))
+        y = mean * jax.lax.rsqrt(var + self.eps_var)          # (B, 1, 1, C)
+
+        y = nn.Conv(
+            self.num_affine,
+            (1, 1),
+            use_bias=False,
+            kernel_init=nn.initializers.kaiming_normal(),
+            dtype=self.dtype,
+            name="conv",
+        )(y)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(y)
+        y = hsigmoid_v2(y)
+        return y.reshape(y.shape[0], self.num_affine)
+
+
+class AttnBatchNorm(nn.Module):
+    """Attentive normalization: affine-free BN modulated by attention-mixed
+    per-sample affine pairs.
+
+    Parity: reference ``AttnBatchNorm2d`` (attentive_norm.py:118-164):
+    out = (y @ weight_) * BN(x) + (y @ bias_) with weight_ ~ N(1, 0.1),
+    bias_ ~ N(0, 0.1), K=10 affines, BN momentum 0.03 / eps 1e-3.
+    """
+
+    features: int
+    num_affine: int = 10
+    momentum: float = 0.03  # torch momentum; flax uses 1 - this
+    eps: float = 1e-3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        normed = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
+            use_scale=False,
+            use_bias=False,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+        y = AttnWeights(self.num_affine, dtype=self.dtype, name="attn")(
+            x, train=train
+        )                                                       # (B, K)
+
+        weight_ = self.param(
+            "weight_",
+            lambda key, shape: 1.0 + 0.1 * jax.random.normal(key, shape),
+            (self.num_affine, self.features),
+        )
+        bias_ = self.param(
+            "bias_",
+            lambda key, shape: 0.1 * jax.random.normal(key, shape),
+            (self.num_affine, self.features),
+        )
+        scale = (y @ weight_.astype(y.dtype))[:, None, None, :]  # (B,1,1,C)
+        shift = (y @ bias_.astype(y.dtype))[:, None, None, :]
+        return scale * normed + shift
