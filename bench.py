@@ -1,0 +1,107 @@
+"""Benchmark: frames/sec/chip for KITTI-val inference (384x1280).
+
+Runs the flagship MonoCon DLA-34 forward + full 3D decode under jit on the
+available accelerator, measures steady-state throughput, and compares to a
+PyTorch-CPU reference measurement of the same model (the BASELINE.json
+north star is >=10x PyTorch-CPU frames/sec on one v5e chip).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/sec/chip", "vs_baseline": r}
+where vs_baseline = our_fps / torch_cpu_fps.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+PAD_HW = (384, 1280)
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+WARMUP = 3
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+TORCH_FRAMES = int(os.environ.get("BENCH_TORCH_FRAMES", "2"))
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from monocon_tpu.data.synthetic import DEFAULT_P2
+    from monocon_tpu.models import create_detector_state
+    from monocon_tpu.ops.decode import decode_predictions
+
+    model, variables = create_detector_state(
+        jax.random.PRNGKey(0), image_hw=PAD_HW
+    )
+
+    @jax.jit
+    def forward(variables, image, p2):
+        pred = model.apply(variables, image, train=False)
+        return decode_predictions(pred, p2, PAD_HW)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.normal(size=(BATCH, *PAD_HW, 3)).astype(np.float32))
+    p2 = jnp.asarray(np.tile(DEFAULT_P2[None], (BATCH, 1, 1)))
+
+    # The experimental axon platform's block_until_ready can return without
+    # draining the queue; chain a scalar through every iteration and force
+    # one host transfer at the end to get an honest steady-state number.
+    for _ in range(WARMUP):
+        out = forward(variables, image, p2)
+    float(np.asarray(out["scores"]).sum())
+
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for _ in range(ITERS):
+        out = forward(variables, image, p2)
+        acc = acc + out["scores"].sum()
+    float(np.asarray(acc))
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
+
+
+def bench_torch_cpu() -> float:
+    """Reference implementation on CPU (same arch, random weights)."""
+    sys.path.insert(0, "/root/reference")
+    try:
+        import torch
+
+        torch.manual_seed(0)
+        from model.detector.monocon_detector import MonoConDetector
+
+        det = MonoConDetector(num_dla_layers=34, pretrained_backbone=False)
+        det.eval()
+        x = torch.randn(1, 3, *PAD_HW)
+        with torch.no_grad():
+            det.head.forward_test(det.neck(list(det.backbone(x)))[0])  # warmup
+            t0 = time.perf_counter()
+            for _ in range(TORCH_FRAMES):
+                feat = det.neck(list(det.backbone(x)))[0]
+                det.head.forward_test(feat)
+            dt = time.perf_counter() - t0
+        return TORCH_FRAMES / dt
+    finally:
+        sys.path.pop(0)
+
+
+def main():
+    fps = bench_jax()
+    try:
+        torch_fps = bench_torch_cpu()
+    except Exception:
+        torch_fps = None
+
+    result = {
+        "metric": "frames/sec/chip on KITTI val (384x1280) inference "
+                  "(DLA-34 forward + 3D decode)",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / torch_fps, 2) if torch_fps else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

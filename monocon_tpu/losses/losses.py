@@ -86,8 +86,10 @@ def dim_aware_l1_loss(
     loss = diff / dims
     l1_mean = _masked_mean(diff, mask)
     loss_mean = _masked_mean(loss, mask)
+    # Raw division, matching the reference exactly (dims may be negative or
+    # tiny early in training; the reference does not guard either).
     compensation = jax.lax.stop_gradient(
-        jnp.where(loss_mean > 0, l1_mean / jnp.maximum(loss_mean, EPS), 1.0)
+        jnp.where(loss_mean == 0, 1.0, l1_mean / loss_mean)
     )
     return _masked_mean(loss * compensation, mask)
 

@@ -1,0 +1,11 @@
+from .schedule import (
+    build_optimizer,
+    one_cycle_momentum_schedule,
+    one_cycle_schedule,
+)
+
+__all__ = [
+    "build_optimizer",
+    "one_cycle_momentum_schedule",
+    "one_cycle_schedule",
+]

@@ -1,0 +1,61 @@
+"""Data-parallel mesh tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def test_mesh_and_shardings():
+    from monocon_tpu.parallel import batch_sharding, make_mesh, shard_batch
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    x = jnp.zeros((16, 4))
+    sharded = shard_batch({"x": x}, mesh)["x"]
+    assert sharded.sharding == batch_sharding(mesh)
+    # Each device holds 1/8 of the batch axis.
+    shard_shapes = {s.data.shape for s in sharded.addressable_shards}
+    assert shard_shapes == {(2, 4)}
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_parallel_step_matches_single_device(rng):
+    """The sharded train step must be numerically equivalent to the
+    single-device step (same batch, same init)."""
+    from monocon_tpu.engine import create_train_state, make_train_step
+    from monocon_tpu.models import create_detector_state
+    from monocon_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from monocon_tpu.solver import build_optimizer
+    from tests.test_ops_parity import random_label_batch
+
+    pad_hw = (64, 96)
+    model, variables = create_detector_state(jax.random.PRNGKey(0), image_hw=pad_hw)
+    optimizer = build_optimizer(total_steps=10, use_scheduler=False)
+    step = jax.jit(make_train_step(model, optimizer))
+
+    label = random_label_batch(rng, b=8, o=30, feat_hw=(16, 24), pad_hw=pad_hw)
+    batch = {
+        "img": jnp.asarray(rng.normal(size=(8, *pad_hw, 3)).astype(np.float32)),
+        "label": {k: jnp.asarray(v) for k, v in label.items()},
+    }
+
+    state1 = create_train_state(variables, optimizer)
+    _, losses_single = step(state1, batch)
+
+    mesh = make_mesh(8)
+    state2 = create_train_state(variables, optimizer)
+    state2 = replicate_state(state2, mesh)
+    with mesh:
+        _, losses_sharded = step(state2, shard_batch(batch, mesh))
+
+    for k in losses_single:
+        np.testing.assert_allclose(
+            float(losses_single[k]), float(losses_sharded[k]),
+            rtol=1e-4, err_msg=k,
+        )
