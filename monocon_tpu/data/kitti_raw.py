@@ -1,0 +1,75 @@
+"""KITTI raw drive sequences for video inference.
+
+Parity: reference ``dataset/kitti_raw_dataset.py`` — globs the frames of a
+drive, parses ``calib_cam_to_cam.txt`` for P_rect_02, keeps the
+unnormalized frame for video export, fakes the batch dim.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any, Dict, Optional
+
+import cv2
+import numpy as np
+
+from .calib import Calibration
+from .transforms import Compose, default_raw_transforms
+
+
+def parse_cam_to_cam(path: str) -> np.ndarray:
+    """Extract P_rect_02 (3, 4) from a KITTI-raw calib_cam_to_cam.txt."""
+    with open(path) as f:
+        for line in f:
+            if line.startswith("P_rect_02"):
+                vals = np.array(line.split(":")[1].split(), dtype=np.float32)
+                return vals.reshape(3, 4)
+    raise ValueError(f"P_rect_02 not found in {path}")
+
+
+class KITTIRawDataset:
+    def __init__(
+        self,
+        image_dir: str,
+        calib_file: str,
+        transforms: Optional[list] = None,
+        img_extension: str = "png",
+    ):
+        pattern = os.path.join(image_dir, f"*.{img_extension}")
+        self.image_files = sorted(glob.glob(pattern))
+        assert self.image_files, f"no frames matching {pattern}"
+        self.calib = Calibration.from_p2(parse_cam_to_cam(calib_file))
+        self.transforms = Compose(
+            default_raw_transforms() if transforms is None else transforms
+        )
+
+    def __len__(self) -> int:
+        return len(self.image_files)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        path = self.image_files[idx]
+        bgr = cv2.imread(path)
+        if bgr is None:
+            raise FileNotFoundError(path)
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        sample = {
+            "img": rgb,
+            "img_metas": {
+                "idx": idx,
+                "sample_idx": idx,
+                "image_path": path,
+                "ori_shape": rgb.shape[:2],
+            },
+            "calib": self.calib.copy(),
+            "label": None,
+        }
+        sample = self.transforms(sample)
+        # Fake batch dimension (reference Convert_3D_to_4D,
+        # default_transforms.py:460-479).
+        sample["img"] = sample["img"][None]
+        if "ori_img" in sample:
+            sample["ori_img"] = sample["ori_img"][None]
+        sample["img_metas"] = {k: [v] for k, v in sample["img_metas"].items()}
+        sample["calib"] = [sample["calib"]]
+        return sample

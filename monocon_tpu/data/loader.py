@@ -1,0 +1,160 @@
+"""TPU-feeding data loader: threaded decode/augment workers + batch
+assembly + host->device prefetch.
+
+Replaces the reference's torch DataLoader with 4 worker *processes*
+(engine/monocon_engine.py:58-72) with a thread pool — cv2/numpy release the
+GIL, threads avoid fork/serialize overhead — and adds:
+
+  * **static batch shapes**: every batch is padded to one global canvas
+    (default 384x1248, the /32 pad of all KITTI sizes) so the train step
+    compiles exactly once;
+  * **device prefetch**: batches are placed on device (sharded across the
+    mesh when given) while the current step computes, hiding H2D latency.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+DEFAULT_PAD_HW = (384, 1248)
+
+
+def collate(samples: List[Dict[str, Any]],
+            pad_hw: Optional[Tuple[int, int]] = DEFAULT_PAD_HW) -> Dict[str, Any]:
+    """Stack samples into one batch dict with numpy arrays.
+
+    Images are placed top-left on a zeroed (pad_h, pad_w) canvas; labels
+    (already fixed-shape per sample) stack to (B, O, ...); per-sample P2
+    matrices stack to a (B, 3, 4) array (fixes the reference's host pull of
+    Python calib objects inside decode, monocon_heads.py:501,543).
+    """
+    if pad_hw is None:
+        hs = [s["img"].shape[0] for s in samples]
+        ws = [s["img"].shape[1] for s in samples]
+        pad_hw = (max(hs), max(ws))
+    b = len(samples)
+    images = np.zeros((b, *pad_hw, 3), np.float32)
+    for i, s in enumerate(samples):
+        img = s["img"]
+        h = min(img.shape[0], pad_hw[0])
+        w = min(img.shape[1], pad_hw[1])
+        images[i, :h, :w] = img[:h, :w]
+
+    metas: Dict[str, List[Any]] = {}
+    for s in samples:
+        for k, v in s["img_metas"].items():
+            metas.setdefault(k, []).append(v)
+    metas["pad_shape"] = [pad_hw] * b
+
+    batch: Dict[str, Any] = {
+        "img": images,
+        "img_metas": metas,
+        "calib": [s["calib"] for s in samples],
+        "p2": np.stack([s["calib"].P2 for s in samples]).astype(np.float32),
+    }
+    if samples[0].get("label") is not None:
+        keys = samples[0]["label"].keys()
+        batch["label"] = {
+            k: np.stack([s["label"][k] for s in samples]).astype(np.float32)
+            for k in keys
+        }
+    return batch
+
+
+class DataLoader:
+    """Iterates shuffled batches with background workers.
+
+    Deterministic: per-epoch ordering and per-sample augmentation RNG are
+    derived from (seed, epoch, sample position).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 8,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        drop_last: bool = False,
+        pad_hw: Optional[Tuple[int, int]] = DEFAULT_PAD_HW,
+        seed: int = 0,
+        prefetch_batches: int = 2,
+        device_put_fn=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.pad_hw = pad_hw
+        self.seed = seed
+        self.prefetch_batches = max(1, prefetch_batches)
+        self.device_put_fn = device_put_fn
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng((self.seed, self.epoch)).shuffle(order)
+        return order
+
+    def _load_one(self, idx: int, pos: int):
+        rng = np.random.default_rng((self.seed, self.epoch, pos))
+        if hasattr(self.dataset, "get_sample"):
+            return self.dataset.get_sample(int(idx), rng)
+        return self.dataset[int(idx)]
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        order = self._epoch_order()
+        n = len(order)
+        batch_starts = list(range(0, n, self.batch_size))
+        if self.drop_last and n % self.batch_size:
+            batch_starts = batch_starts[:-1]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for start in batch_starts:
+                    if stop.is_set():
+                        return
+                    idxs = order[start:start + self.batch_size]
+                    samples = list(
+                        pool.map(self._load_one, idxs, range(start, start + len(idxs)))
+                    )
+                    batch = collate(samples, self.pad_hw)
+                    if self.device_put_fn is not None:
+                        batch = self.device_put_fn(batch)
+                    out_q.put(batch)
+            out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
