@@ -1,0 +1,173 @@
+// Native KITTI AP matching kernels.
+//
+// Replaces the reference's numba-JIT hot loops (engine/kitti_eval/eval.py:
+// compute_statistics_jit:167, fused_compute_statistics:297) with a C++
+// library bound via ctypes. The greedy matching is inherently sequential
+// per image — exactly why the reference needed numba — so it lives here,
+// while the batched IoU matrices stay vectorized in numpy.
+//
+// Build: g++ -O3 -march=native -shared -fPIC kitti_match.cpp -o libkitti_match.so
+
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+constexpr double kNoDetection = -10000000.0;
+
+// Axis-aligned overlap with criterion=0 (intersection / det area), used for
+// DontCare suppression (eval.py:90-119 with criterion 0).
+inline double overlap_criterion0(const double* det, const double* dc) {
+  const double iw = std::min(det[2], dc[2]) - std::max(det[0], dc[0]);
+  if (iw <= 0) return 0.0;
+  const double ih = std::min(det[3], dc[3]) - std::max(det[1], dc[1]);
+  if (ih <= 0) return 0.0;
+  const double area = (det[2] - det[0]) * (det[3] - det[1]);
+  return area > 0 ? iw * ih / area : 0.0;
+}
+
+struct ImageView {
+  const double* overlaps;  // (num_dt, num_gt) row-major
+  const double* gt_alphas;
+  const double* dt_alphas;
+  const double* dt_scores;
+  const double* dt_bboxes;  // (num_dt, 4)
+  const double* dc_bboxes;  // (num_dc, 4)
+  const int64_t* ignored_gt;
+  const int64_t* ignored_dt;
+  int64_t num_gt, num_dt, num_dc;
+};
+
+// One greedy matching pass (eval.py:167-285, compute_fp=true).
+void match_one(const ImageView& im, int64_t metric, double min_overlap,
+               double thresh, bool compute_aos, double* tp, double* fp,
+               double* fn, double* similarity, bool* has_similarity) {
+  std::vector<bool> assigned(im.num_dt, false);
+  std::vector<bool> below(im.num_dt, false);
+  for (int64_t j = 0; j < im.num_dt; ++j) {
+    below[j] = im.dt_scores[j] < thresh;
+  }
+
+  double t = 0, f = 0, n = 0;
+  std::vector<double> deltas;
+  for (int64_t i = 0; i < im.num_gt; ++i) {
+    if (im.ignored_gt[i] == -1) continue;
+    int64_t det_idx = -1;
+    double valid_detection = kNoDetection;
+    double max_overlap = 0;
+    bool assigned_ignored_det = false;
+
+    for (int64_t j = 0; j < im.num_dt; ++j) {
+      if (im.ignored_dt[j] == -1 || assigned[j] || below[j]) continue;
+      const double overlap = im.overlaps[j * im.num_gt + i];
+      if (overlap <= min_overlap) continue;
+      if (im.ignored_dt[j] == 0 &&
+          (overlap > max_overlap || assigned_ignored_det)) {
+        max_overlap = overlap;
+        det_idx = j;
+        valid_detection = 1.0;
+        assigned_ignored_det = false;
+      } else if (im.ignored_dt[j] == 1 && valid_detection == kNoDetection) {
+        det_idx = j;
+        valid_detection = 1.0;
+        assigned_ignored_det = true;
+      }
+    }
+
+    if (valid_detection == kNoDetection && im.ignored_gt[i] == 0) {
+      n += 1;
+    } else if (valid_detection != kNoDetection &&
+               (im.ignored_gt[i] == 1 || im.ignored_dt[det_idx] == 1)) {
+      assigned[det_idx] = true;
+    } else if (valid_detection != kNoDetection) {
+      t += 1;
+      if (compute_aos) deltas.push_back(im.gt_alphas[i] - im.dt_alphas[det_idx]);
+      assigned[det_idx] = true;
+    }
+  }
+
+  for (int64_t j = 0; j < im.num_dt; ++j) {
+    if (!(assigned[j] || im.ignored_dt[j] == -1 || im.ignored_dt[j] == 1 ||
+          below[j])) {
+      f += 1;
+    }
+  }
+  // DontCare suppression for the 2D metric (eval.py:258-272).
+  if (metric == 0) {
+    double nstuff = 0;
+    for (int64_t i = 0; i < im.num_dc; ++i) {
+      for (int64_t j = 0; j < im.num_dt; ++j) {
+        if (assigned[j] || im.ignored_dt[j] == -1 || im.ignored_dt[j] == 1 ||
+            below[j]) {
+          continue;
+        }
+        if (overlap_criterion0(im.dt_bboxes + 4 * j, im.dc_bboxes + 4 * i) >
+            min_overlap) {
+          assigned[j] = true;
+          nstuff += 1;
+        }
+      }
+    }
+    f -= nstuff;
+  }
+
+  double sim = 0;
+  bool has_sim = false;
+  if (compute_aos) {
+    if (t > 0 || f > 0) {
+      for (double d : deltas) sim += (1.0 + std::cos(d)) / 2.0;
+      has_sim = true;
+    }
+  }
+  *tp = t;
+  *fp = f;
+  *fn = n;
+  *similarity = sim;
+  *has_similarity = has_sim;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Accumulate the PR table over all images and thresholds.
+//   pr: (num_thresholds, 4) [tp, fp, fn, similarity], preinitialized to 0.
+// Per-image arrays are flattened with exclusive prefix offsets.
+void fused_pr(const double* overlaps, const int64_t* overlap_offsets,
+              const double* gt_alphas, const int64_t* gt_offsets,
+              const double* dt_alphas, const double* dt_scores,
+              const double* dt_bboxes, const int64_t* dt_offsets,
+              const int64_t* ignored_gt, const int64_t* ignored_dt,
+              const double* dc_bboxes, const int64_t* dc_offsets,
+              int64_t num_images, int64_t metric, double min_overlap,
+              const double* thresholds, int64_t num_thresholds,
+              int64_t compute_aos, double* pr) {
+  for (int64_t img = 0; img < num_images; ++img) {
+    ImageView im;
+    im.num_gt = gt_offsets[img + 1] - gt_offsets[img];
+    im.num_dt = dt_offsets[img + 1] - dt_offsets[img];
+    im.num_dc = dc_offsets[img + 1] - dc_offsets[img];
+    im.overlaps = overlaps + overlap_offsets[img];
+    im.gt_alphas = gt_alphas + gt_offsets[img];
+    im.dt_alphas = dt_alphas + dt_offsets[img];
+    im.dt_scores = dt_scores + dt_offsets[img];
+    im.dt_bboxes = dt_bboxes + 4 * dt_offsets[img];
+    im.dc_bboxes = dc_bboxes + 4 * dc_offsets[img];
+    im.ignored_gt = ignored_gt + gt_offsets[img];
+    im.ignored_dt = ignored_dt + dt_offsets[img];
+
+    for (int64_t t = 0; t < num_thresholds; ++t) {
+      double tp, fp, fn, sim;
+      bool has_sim;
+      match_one(im, metric, min_overlap, thresholds[t], compute_aos != 0, &tp,
+                &fp, &fn, &sim, &has_sim);
+      pr[t * 4 + 0] += tp;
+      pr[t * 4 + 1] += fp;
+      pr[t * 4 + 2] += fn;
+      if (has_sim) pr[t * 4 + 3] += sim;
+    }
+  }
+}
+
+}  // extern "C"

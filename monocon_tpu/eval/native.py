@@ -1,0 +1,152 @@
+"""ctypes binding for the C++ matching library, with a Python fallback.
+
+Builds ``libkitti_match.so`` from ``cpp/kitti_match.cpp`` on first use
+(g++ -O3); if the toolchain is unavailable the pure-Python matcher from
+``protocol.py`` is used instead (identical results, slower).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional
+
+import numpy as np
+
+_CPP_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "cpp")
+_SRC = os.path.join(_CPP_DIR, "kitti_match.cpp")
+_LIB_PATH = os.path.join(_CPP_DIR, "libkitti_match.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH],
+            check=True, capture_output=True,
+        )
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.isfile(_LIB_PATH) or (
+        os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    c_double_p = ctypes.POINTER(ctypes.c_double)
+    c_int64_p = ctypes.POINTER(ctypes.c_int64)
+    lib.fused_pr.restype = None
+    lib.fused_pr.argtypes = [
+        c_double_p, c_int64_p,           # overlaps, overlap_offsets
+        c_double_p, c_int64_p,           # gt_alphas, gt_offsets
+        c_double_p, c_double_p,          # dt_alphas, dt_scores
+        c_double_p, c_int64_p,           # dt_bboxes, dt_offsets
+        c_int64_p, c_int64_p,            # ignored_gt, ignored_dt
+        c_double_p, c_int64_p,           # dc_bboxes, dc_offsets
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+        c_double_p, ctypes.c_int64, ctypes.c_int64,
+        c_double_p,
+    ]
+    _lib = lib
+    return _lib
+
+
+def _ptr_d(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _ptr_i(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _offsets(counts: List[int]) -> np.ndarray:
+    return np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+
+def batch_match(
+    image_args: List[Dict[str, np.ndarray]],
+    metric: int,
+    min_overlap: float,
+    thresholds: np.ndarray,
+    compute_aos: bool,
+    force_python: bool = False,
+) -> np.ndarray:
+    """Accumulated PR table (T, 4): tp, fp, fn, similarity."""
+    lib = None if force_python else get_lib()
+    if lib is None:
+        return _batch_match_python(
+            image_args, metric, min_overlap, thresholds, compute_aos
+        )
+
+    gt_counts = [len(a["gt_alphas"]) for a in image_args]
+    dt_counts = [len(a["dt_scores"]) for a in image_args]
+    dc_counts = [len(a["dc_bboxes"]) for a in image_args]
+    ov_counts = [a["overlaps"].size for a in image_args]
+
+    def cat(key, dtype=np.float64, cols=None):
+        arrs = [np.ascontiguousarray(a[key], dtype=dtype) for a in image_args]
+        flat = [x.reshape(-1) for x in arrs]
+        out = (np.concatenate(flat) if flat else np.zeros(0, dtype))
+        return np.ascontiguousarray(out, dtype=dtype)
+
+    overlaps = cat("overlaps")
+    gt_alphas = cat("gt_alphas")
+    dt_alphas = cat("dt_alphas")
+    dt_scores = cat("dt_scores")
+    dt_bboxes = cat("dt_bboxes")
+    if dt_bboxes.size == 0:
+        dt_bboxes = np.zeros(4)
+    dc_bboxes = cat("dc_bboxes")
+    if dc_bboxes.size == 0:
+        dc_bboxes = np.zeros(4)
+    ignored_gt = cat("ignored_gt", np.int64)
+    ignored_dt = cat("ignored_dt", np.int64)
+
+    thresholds = np.ascontiguousarray(thresholds, np.float64)
+    pr = np.zeros((len(thresholds), 4), np.float64)
+    lib.fused_pr(
+        _ptr_d(overlaps), _ptr_i(_offsets(ov_counts)),
+        _ptr_d(gt_alphas), _ptr_i(_offsets(gt_counts)),
+        _ptr_d(dt_alphas), _ptr_d(dt_scores),
+        _ptr_d(dt_bboxes), _ptr_i(_offsets(dt_counts)),
+        _ptr_i(ignored_gt), _ptr_i(ignored_dt),
+        _ptr_d(dc_bboxes), _ptr_i(_offsets(dc_counts)),
+        len(image_args), metric, float(min_overlap),
+        _ptr_d(thresholds), len(thresholds), int(compute_aos),
+        _ptr_d(pr),
+    )
+    return pr
+
+
+def _batch_match_python(image_args, metric, min_overlap, thresholds,
+                        compute_aos) -> np.ndarray:
+    from .protocol import match_image
+
+    pr = np.zeros((len(thresholds), 4), np.float64)
+    for args in image_args:
+        for t, thresh in enumerate(thresholds):
+            tp, fp, fn, sim, _ = match_image(
+                metric=metric, min_overlap=min_overlap, thresh=float(thresh),
+                compute_fp=True, compute_aos=compute_aos, **args,
+            )
+            pr[t, 0] += tp
+            pr[t, 1] += fp
+            pr[t, 2] += fn
+            if sim != -1:
+                pr[t, 3] += sim
+    return pr

@@ -1,0 +1,347 @@
+"""Official KITTI AP evaluation protocol (AP40/AP11, bbox/BEV/3D/AOS).
+
+Behavioral parity with the reference ``engine/kitti_eval/eval.py`` — the
+41-recall-point threshold selection, per-difficulty ignore rules, greedy
+TP/FP matching with DontCare suppression, precision right-envelope, and the
+two overlap regimes — implemented in numpy/Python with the per-image greedy
+matcher swappable for the C++ implementation in ``native.py`` (the numba
+replacement, SURVEY.md §2.9).
+
+Annotation dicts: {'name','truncated','occluded','alpha','bbox',
+'dimensions','location','rotation_y','score'} per image.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from .rotate_iou import rotate_iou_matrix
+
+CLASS_NAMES = ("Car", "Pedestrian", "Cyclist", "Van", "Person_sitting")
+N_SAMPLE_PTS = 41
+
+# Per-difficulty ignore rules (eval.py:36-39).
+MIN_HEIGHT = (40, 25, 25)
+MAX_OCCLUSION = (0, 1, 2)
+MAX_TRUNCATION = (0.15, 0.3, 0.5)
+
+
+def select_thresholds(scores: np.ndarray, num_gt: int,
+                      num_sample_pts: int = N_SAMPLE_PTS) -> np.ndarray:
+    """Pick score thresholds hitting ~41 evenly spaced recall points
+    (eval.py:14-32)."""
+    scores = np.sort(scores)[::-1]
+    current_recall = 0.0
+    thresholds = []
+    for i, score in enumerate(scores):
+        l_recall = (i + 1) / num_gt
+        r_recall = (i + 2) / num_gt if i < len(scores) - 1 else l_recall
+        if ((r_recall - current_recall) < (current_recall - l_recall)
+                and i < len(scores) - 1):
+            continue
+        thresholds.append(score)
+        current_recall += 1.0 / (num_sample_pts - 1.0)
+    return np.array(thresholds)
+
+
+def clean_data(gt: Dict, dt: Dict, current_class: int, difficulty: int):
+    """Ignore-level assignment (eval.py:35-87).
+
+    Returns (num_valid_gt, ignored_gt, ignored_dt, dc_bboxes):
+      ignored codes: 0 = count, 1 = ignore (neighbors/too-hard), -1 = skip.
+    """
+    cls_name = CLASS_NAMES[current_class].lower()
+    names_gt = [n.lower() for n in gt["name"]]
+    heights = gt["bbox"][:, 3] - gt["bbox"][:, 1]
+
+    ignored_gt = np.full(len(names_gt), -1, dtype=np.int64)
+    num_valid = 0
+    dc_boxes = []
+    for i, name in enumerate(names_gt):
+        if name == cls_name:
+            valid = 1
+        elif cls_name == "pedestrian" and name == "person_sitting":
+            valid = 0
+        elif cls_name == "car" and name == "van":
+            valid = 0
+        else:
+            valid = -1
+        too_hard = (
+            gt["occluded"][i] > MAX_OCCLUSION[difficulty]
+            or gt["truncated"][i] > MAX_TRUNCATION[difficulty]
+            or heights[i] <= MIN_HEIGHT[difficulty]
+        )
+        if valid == 1 and not too_hard:
+            ignored_gt[i] = 0
+            num_valid += 1
+        elif valid == 0 or (too_hard and valid == 1):
+            ignored_gt[i] = 1
+        if gt["name"][i] == "DontCare":
+            dc_boxes.append(gt["bbox"][i])
+
+    dt_heights = np.abs(dt["bbox"][:, 3] - dt["bbox"][:, 1])
+    names_dt = [n.lower() for n in dt["name"]]
+    ignored_dt = np.full(len(names_dt), -1, dtype=np.int64)
+    for j, name in enumerate(names_dt):
+        if dt_heights[j] < MIN_HEIGHT[difficulty]:
+            ignored_dt[j] = 1
+        elif name == cls_name:
+            ignored_dt[j] = 0
+
+    dc = (np.stack(dc_boxes).astype(np.float64) if dc_boxes
+          else np.zeros((0, 4), np.float64))
+    return num_valid, ignored_gt, ignored_dt, dc
+
+
+def image_box_overlap(boxes: np.ndarray, qboxes: np.ndarray,
+                      criterion: int = -1) -> np.ndarray:
+    """Vectorized axis-aligned IoU matrix (eval.py:90-119)."""
+    n, k = boxes.shape[0], qboxes.shape[0]
+    if n == 0 or k == 0:
+        return np.zeros((n, k))
+    iw = (np.minimum(boxes[:, None, 2], qboxes[None, :, 2])
+          - np.maximum(boxes[:, None, 0], qboxes[None, :, 0]))
+    ih = (np.minimum(boxes[:, None, 3], qboxes[None, :, 3])
+          - np.maximum(boxes[:, None, 1], qboxes[None, :, 1]))
+    inter = np.where((iw > 0) & (ih > 0), iw * ih, 0.0)
+    area1 = ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))[:, None]
+    area2 = ((qboxes[:, 2] - qboxes[:, 0]) * (qboxes[:, 3] - qboxes[:, 1]))[None]
+    if criterion == -1:
+        denom = area1 + area2 - inter
+    elif criterion == 0:
+        denom = np.broadcast_to(area1, inter.shape)
+    elif criterion == 1:
+        denom = np.broadcast_to(area2, inter.shape)
+    else:
+        denom = np.ones_like(inter)
+    return np.where(inter > 0, inter / denom, 0.0)
+
+
+def bev_boxes(anno: Dict) -> np.ndarray:
+    return np.concatenate(
+        [anno["location"][:, [0, 2]], anno["dimensions"][:, [0, 2]],
+         anno["rotation_y"][:, None]], axis=1,
+    )
+
+
+def camera_boxes(anno: Dict) -> np.ndarray:
+    return np.concatenate(
+        [anno["location"], anno["dimensions"], anno["rotation_y"][:, None]],
+        axis=1,
+    )
+
+
+def d3_box_overlap(boxes: np.ndarray, qboxes: np.ndarray,
+                   criterion: int = -1) -> np.ndarray:
+    """Rotated BEV intersection x vertical overlap (eval.py:128-164).
+    Camera boxes (x,y,z,l,h,w,ry); y points down, y is the box bottom."""
+    rinc = rotate_iou_matrix(
+        boxes[:, [0, 2, 3, 5, 6]], qboxes[:, [0, 2, 3, 5, 6]], 2
+    ).astype(np.float64)
+    iw = (np.minimum(boxes[:, None, 1], qboxes[None, :, 1])
+          - np.maximum(boxes[:, None, 1] - boxes[:, None, 4],
+                       qboxes[None, :, 1] - qboxes[None, :, 4]))
+    vol1 = (boxes[:, 3] * boxes[:, 4] * boxes[:, 5])[:, None]
+    vol2 = (qboxes[:, 3] * qboxes[:, 4] * qboxes[:, 5])[None]
+    inc = np.where(iw > 0, iw * rinc, 0.0)
+    if criterion == -1:
+        denom = vol1 + vol2 - inc
+    elif criterion == 0:
+        denom = np.broadcast_to(vol1, inc.shape)
+    elif criterion == 1:
+        denom = np.broadcast_to(vol2, inc.shape)
+    else:
+        denom = np.ones_like(inc)
+    return np.where((rinc > 0) & (iw > 0), inc / denom, 0.0)
+
+
+def compute_overlap(gt: Dict, dt: Dict, metric: int) -> np.ndarray:
+    """Per-image (num_dt, num_gt) overlap matrix for a metric
+    (0 bbox / 1 bev / 2 3d)."""
+    if metric == 0:
+        return image_box_overlap(dt["bbox"], gt["bbox"])
+    if metric == 1:
+        return rotate_iou_matrix(bev_boxes(dt), bev_boxes(gt)).astype(np.float64)
+    if metric == 2:
+        return d3_box_overlap(camera_boxes(dt), camera_boxes(gt))
+    raise ValueError(metric)
+
+
+NO_DETECTION = -10_000_000.0
+
+
+def match_image(
+    overlaps: np.ndarray,   # (num_dt, num_gt)
+    gt_alphas: np.ndarray,
+    dt_alphas: np.ndarray,
+    dt_scores: np.ndarray,
+    dt_bboxes: np.ndarray,
+    ignored_gt: np.ndarray,
+    ignored_dt: np.ndarray,
+    dc_bboxes: np.ndarray,
+    metric: int,
+    min_overlap: float,
+    thresh: float = 0.0,
+    compute_fp: bool = False,
+    compute_aos: bool = False,
+) -> Tuple[int, int, int, float, np.ndarray]:
+    """Greedy per-image TP/FP/FN matching (eval.py:167-285). Returns
+    (tp, fp, fn, similarity, tp_scores)."""
+    det_size = len(dt_scores)
+    gt_size = len(gt_alphas)
+    assigned = np.zeros(det_size, dtype=bool)
+    ignored_threshold = (
+        dt_scores < thresh if compute_fp else np.zeros(det_size, dtype=bool)
+    )
+
+    tp = fp = fn = 0
+    similarity = 0.0
+    tp_scores = []
+    deltas = []
+    for i in range(gt_size):
+        if ignored_gt[i] == -1:
+            continue
+        det_idx = -1
+        valid_detection = NO_DETECTION
+        max_overlap = 0.0
+        assigned_ignored_det = False
+        for j in range(det_size):
+            if ignored_dt[j] == -1 or assigned[j] or ignored_threshold[j]:
+                continue
+            overlap = overlaps[j, i]
+            if overlap <= min_overlap:
+                continue
+            if not compute_fp:
+                if dt_scores[j] > valid_detection:
+                    det_idx, valid_detection = j, dt_scores[j]
+            elif (ignored_dt[j] == 0
+                  and (overlap > max_overlap or assigned_ignored_det)):
+                max_overlap, det_idx = overlap, j
+                valid_detection, assigned_ignored_det = 1.0, False
+            elif (ignored_dt[j] == 1 and valid_detection == NO_DETECTION):
+                det_idx, valid_detection = j, 1.0
+                assigned_ignored_det = True
+
+        if valid_detection == NO_DETECTION and ignored_gt[i] == 0:
+            fn += 1
+        elif valid_detection != NO_DETECTION and (
+                ignored_gt[i] == 1 or ignored_dt[det_idx] == 1):
+            assigned[det_idx] = True
+        elif valid_detection != NO_DETECTION:
+            tp += 1
+            tp_scores.append(dt_scores[det_idx])
+            if compute_aos:
+                deltas.append(gt_alphas[i] - dt_alphas[det_idx])
+            assigned[det_idx] = True
+
+    if compute_fp:
+        fp = int(np.sum(~assigned & (ignored_dt == 0) & ~ignored_threshold))
+        if metric == 0 and len(dc_bboxes) > 0:
+            overlaps_dc = image_box_overlap(dt_bboxes, dc_bboxes, 0)
+            nstuff = 0
+            for i in range(dc_bboxes.shape[0]):
+                for j in range(det_size):
+                    if (assigned[j] or ignored_dt[j] in (-1, 1)
+                            or ignored_threshold[j]):
+                        continue
+                    if overlaps_dc[j, i] > min_overlap:
+                        assigned[j] = True
+                        nstuff += 1
+            fp -= nstuff
+        if compute_aos:
+            if tp > 0 or fp > 0:
+                similarity = float(
+                    np.sum((1.0 + np.cos(np.asarray(deltas))) / 2.0)
+                )
+            else:
+                similarity = -1.0
+    return tp, fp, fn, similarity, np.array(tp_scores)
+
+
+def eval_class(
+    gt_annos: List[Dict],
+    dt_annos: List[Dict],
+    current_classes: Sequence[int],
+    difficultys: Sequence[int],
+    metric: int,
+    min_overlaps: np.ndarray,   # (num_overlap, metric, class)
+    compute_aos: bool = False,
+) -> Dict[str, np.ndarray]:
+    """PR curves per (class, difficulty, overlap) — eval.py:456-574."""
+    from .native import batch_match  # may fall back to Python
+
+    assert len(gt_annos) == len(dt_annos)
+    num_images = len(gt_annos)
+    overlaps = [
+        compute_overlap(gt_annos[i], dt_annos[i], metric)
+        for i in range(num_images)
+    ]
+
+    shape = (len(current_classes), len(difficultys),
+             min_overlaps.shape[0], N_SAMPLE_PTS)
+    precision = np.zeros(shape)
+    recall = np.zeros(shape)
+    aos = np.zeros(shape)
+
+    for m, cls in enumerate(current_classes):
+        for d, difficulty in enumerate(difficultys):
+            cleaned = [
+                clean_data(gt_annos[i], dt_annos[i], cls, difficulty)
+                for i in range(num_images)
+            ]
+            total_valid_gt = sum(c[0] for c in cleaned)
+            image_args = [
+                dict(
+                    overlaps=overlaps[i],
+                    gt_alphas=gt_annos[i]["alpha"].astype(np.float64),
+                    dt_alphas=dt_annos[i]["alpha"].astype(np.float64),
+                    dt_scores=dt_annos[i]["score"].astype(np.float64),
+                    dt_bboxes=dt_annos[i]["bbox"].astype(np.float64),
+                    ignored_gt=cleaned[i][1],
+                    ignored_dt=cleaned[i][2],
+                    dc_bboxes=cleaned[i][3],
+                )
+                for i in range(num_images)
+            ]
+            for k in range(min_overlaps.shape[0]):
+                min_overlap = float(min_overlaps[k, metric, m])
+                all_scores = []
+                for args in image_args:
+                    _, _, _, _, scores = match_image(
+                        metric=metric, min_overlap=min_overlap,
+                        compute_fp=False, **args,
+                    )
+                    all_scores.append(scores)
+                if total_valid_gt == 0:
+                    continue
+                thresholds = select_thresholds(
+                    np.concatenate(all_scores), total_valid_gt
+                )
+                if len(thresholds) == 0:
+                    continue
+                pr = batch_match(
+                    image_args, metric, min_overlap, thresholds, compute_aos
+                )  # (T, 4): tp, fp, fn, similarity
+                t = len(thresholds)
+                recall[m, d, k, :t] = pr[:, 0] / (pr[:, 0] + pr[:, 2])
+                precision[m, d, k, :t] = pr[:, 0] / (pr[:, 0] + pr[:, 1])
+                if compute_aos:
+                    aos[m, d, k, :t] = pr[:, 3] / (pr[:, 0] + pr[:, 1])
+                # Right-envelope (max over the tail) — eval.py:555-562.
+                for i in range(t):
+                    precision[m, d, k, i] = np.max(precision[m, d, k, i:])
+                    recall[m, d, k, i] = np.max(recall[m, d, k, i:])
+                    if compute_aos:
+                        aos[m, d, k, i] = np.max(aos[m, d, k, i:])
+    return {"recall": recall, "precision": precision, "orientation": aos}
+
+
+def get_map11(prec: np.ndarray) -> np.ndarray:
+    return sum(prec[..., i] for i in range(0, prec.shape[-1], 4)) / 11 * 100
+
+
+def get_map40(prec: np.ndarray) -> np.ndarray:
+    return sum(prec[..., i] for i in range(1, prec.shape[-1])) / 40 * 100

@@ -1,0 +1,143 @@
+"""Rotated-rectangle IoU, fully vectorized in numpy.
+
+Replaces the reference's numba.cuda kernel (engine/kitti_eval/rotate_iou.py)
+— the matrices here are tens-by-tens per image, so a batched host
+implementation is the right tool (SURVEY.md §2.9). The intersection is an
+exact Sutherland–Hodgman polygon clip carried out simultaneously for all
+(N, K) box pairs with fixed-size vertex buffers.
+
+Box format: (cx, cy, w, h, angle) with the reference's *clockwise* rotation
+convention (rotate_iou.py:200-223). criterion: -1 = IoU, 0 = inter/area1,
+1 = inter/area2, 2 = raw intersection area.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Max vertices of quad ∩ quad is 8; keep one slack slot per clip round.
+_MAX_V = 10
+
+
+def rbbox_corners(boxes: np.ndarray) -> np.ndarray:
+    """(N, 5) rotated boxes -> (N, 4, 2) corners, CCW order."""
+    cx, cy, w, h, ang = (boxes[:, i] for i in range(5))
+    cos, sin = np.cos(ang), np.sin(ang)
+    # Half-extent offsets in CCW order (y-up convention).
+    dx = np.stack([-w, w, w, -w], axis=-1) / 2.0    # (N, 4)
+    dy = np.stack([-h, -h, h, h], axis=-1) / 2.0
+    # Clockwise rotation (matches the reference kernel).
+    x = cos[:, None] * dx + sin[:, None] * dy + cx[:, None]
+    y = -sin[:, None] * dx + cos[:, None] * dy + cy[:, None]
+    return np.stack([x, y], axis=-1)
+
+
+def _polygon_area(pts: np.ndarray, count: np.ndarray) -> np.ndarray:
+    """Shoelace area of padded polygons. pts (..., V, 2), count (...,)."""
+    v = pts.shape[-2]
+    idx = np.arange(v)
+    nxt = (idx + 1) % v
+    # Treat vertices >= count as duplicates of the last valid vertex by
+    # zeroing their edge contributions: build a mask over edges i -> i+1
+    # that are fully inside the valid range (with wraparound to vertex 0).
+    x, y = pts[..., 0], pts[..., 1]
+    valid = idx[None, :] < count[..., None]          # (..., V)
+    # replace invalid vertices with the first vertex -> their edges vanish
+    x0 = np.where(valid, x, x[..., :1])
+    y0 = np.where(valid, y, y[..., :1])
+    cross = x0 * np.take(y0, nxt, axis=-1) - np.take(x0, nxt, axis=-1) * y0
+    return 0.5 * np.abs(cross.sum(axis=-1))
+
+
+def _clip_by_edge(pts, count, a, b):
+    """One Sutherland–Hodgman pass: clip polygons by half-plane left of
+    edge a->b. All args batched over leading dims."""
+    v = pts.shape[-2]
+    idx = np.arange(v)
+    valid = idx[None, :] < count[..., None]           # (P, V)
+
+    ab = b - a                                        # (P, 2)
+    ap = pts - a[..., None, :]                        # (P, V, 2)
+    side = ab[..., None, 0] * ap[..., 1] - ab[..., None, 1] * ap[..., 0]
+    inside = (side >= 0) & valid
+
+    nxt = (idx + 1) % v
+    # wrap each polygon at its own count: successor of vertex count-1 is 0
+    succ = np.where(idx[None, :] == count[..., None] - 1, 0, nxt[None, :])
+    p_next = np.take_along_axis(pts, succ[..., None].repeat(2, -1), axis=-2)
+    side_next = np.take_along_axis(side, succ, axis=-1)
+    inside_next = np.take_along_axis(inside, succ, axis=-1)
+
+    # Intersection point of segment (p, p_next) with the edge line.
+    denom = side - side_next
+    t = np.where(np.abs(denom) > 1e-12, side / np.where(denom == 0, 1, denom), 0.0)
+    inter_pt = pts + t[..., None] * (p_next - pts)
+
+    # Each input edge emits up to 2 vertices:
+    #   emit1 = p (if inside), emit2 = intersection (if crossing).
+    crossing = (inside ^ inside_next) & valid
+    emit1 = inside
+    emit2 = crossing
+
+    # Scatter-compact emitted vertices into a fresh buffer.
+    p_flat = pts.reshape(-1, v, 2)
+    ip_flat = inter_pt.reshape(-1, v, 2)
+    e1 = emit1.reshape(-1, v)
+    e2 = emit2.reshape(-1, v)
+    n = p_flat.shape[0]
+    out = np.zeros((n, v, 2), dtype=pts.dtype)
+    out_count = np.zeros(n, dtype=np.int64)
+
+    # positions: interleave (p_i, inter_i) in edge order, compacted.
+    emit_interleaved = np.stack([e1, e2], axis=-1).reshape(n, 2 * v)
+    verts_interleaved = np.stack([p_flat, ip_flat], axis=-2).reshape(n, 2 * v, 2)
+    pos = np.cumsum(emit_interleaved, axis=-1) - 1    # target slot per emit
+    keep = emit_interleaved & (pos < v)
+    rows, cols = np.nonzero(keep)
+    out[rows, pos[rows, cols]] = verts_interleaved[rows, cols]
+    out_count = keep.sum(axis=-1)
+
+    return out.reshape(pts.shape), out_count.reshape(count.shape)
+
+
+def rotate_iou_matrix(
+    boxes: np.ndarray, qboxes: np.ndarray, criterion: int = -1
+) -> np.ndarray:
+    """Pairwise rotated-box overlap matrix (N, K).
+
+    Behavioral parity with the reference ``rotate_iou_gpu_eval``
+    (rotate_iou.py:337-379), computed on host for all pairs at once.
+    """
+    n, k = boxes.shape[0], qboxes.shape[0]
+    if n == 0 or k == 0:
+        return np.zeros((n, k), dtype=np.float32)
+
+    c1 = rbbox_corners(boxes.astype(np.float64))      # (N, 4, 2)
+    c2 = rbbox_corners(qboxes.astype(np.float64))     # (K, 4, 2)
+
+    # Subject polygons: box1 corners padded to _MAX_V, batched (N*K).
+    subj = np.zeros((n, k, _MAX_V, 2))
+    subj[:, :, :4] = c1[:, None]
+    count = np.full((n, k), 4, dtype=np.int64)
+
+    # Clip by each edge of box2 (CCW corners -> left side is inside).
+    for e in range(4):
+        a = np.broadcast_to(c2[None, :, e], (n, k, 2))
+        b = np.broadcast_to(c2[None, :, (e + 1) % 4], (n, k, 2))
+        subj, count = _clip_by_edge(subj, count, a, b)
+
+    inter = _polygon_area(subj, count)
+    inter = np.where(count >= 3, inter, 0.0)
+
+    area1 = (boxes[:, 2] * boxes[:, 3]).astype(np.float64)[:, None]
+    area2 = (qboxes[:, 2] * qboxes[:, 3]).astype(np.float64)[None, :]
+    if criterion == -1:
+        denom = area1 + area2 - inter
+    elif criterion == 0:
+        denom = np.broadcast_to(area1, inter.shape)
+    elif criterion == 1:
+        denom = np.broadcast_to(area2, inter.shape)
+    else:
+        return inter.astype(np.float32)
+    out = np.where(denom > 0, inter / np.where(denom == 0, 1, denom), 0.0)
+    return out.astype(np.float32)

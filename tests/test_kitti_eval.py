@@ -1,0 +1,190 @@
+"""KITTI AP evaluator tests: C++ vs Python matcher equivalence, analytic
+AP cases, protocol behaviors (ignores, DontCare, AOS auto-enable)."""
+
+import numpy as np
+import pytest
+
+from monocon_tpu.eval import kitti_eval, rotate_iou_matrix
+from monocon_tpu.eval.native import batch_match, get_lib
+from monocon_tpu.eval.protocol import (
+    clean_data,
+    compute_overlap,
+    image_box_overlap,
+    select_thresholds,
+)
+
+
+def make_anno(names, bboxes, locs=None, dims=None, rys=None, alphas=None,
+              scores=None, truncated=None, occluded=None):
+    n = len(names)
+    bboxes = np.asarray(bboxes, np.float64).reshape(n, 4)
+    return {
+        "name": np.array(names),
+        "truncated": np.zeros(n) if truncated is None else np.asarray(truncated, np.float64),
+        "occluded": np.zeros(n) if occluded is None else np.asarray(occluded, np.float64),
+        "alpha": (np.full(n, 0.5) if alphas is None else np.asarray(alphas, np.float64)),
+        "bbox": bboxes,
+        "dimensions": (np.tile([3.9, 1.6, 1.7], (n, 1)) if dims is None
+                       else np.asarray(dims, np.float64).reshape(n, 3)),
+        "location": (np.tile([0.0, 1.5, 20.0], (n, 1)) if locs is None
+                     else np.asarray(locs, np.float64).reshape(n, 3)),
+        "rotation_y": np.zeros(n) if rys is None else np.asarray(rys, np.float64),
+        "score": (np.full(n, -1.0) if scores is None
+                  else np.asarray(scores, np.float64)),
+    }
+
+
+def random_scene(rng, num_images=6, objs_per_img=8, jitter=0.0, drop=0.0):
+    """GT + detections derived from GT with optional jitter/drops."""
+    gts, dts = [], []
+    score = 1000.0
+    for _ in range(num_images):
+        n = int(rng.integers(3, objs_per_img))
+        x1 = rng.uniform(0, 1000, n)
+        y1 = rng.uniform(0, 200, n)
+        w = rng.uniform(60, 200, n)
+        h = rng.uniform(45, 120, n)
+        bb = np.stack([x1, y1, x1 + w, y1 + h], -1)
+        locs = np.stack([rng.uniform(-20, 20, n), rng.uniform(1, 2, n),
+                         rng.uniform(5, 60, n)], -1)
+        dims = np.stack([rng.uniform(3, 5, n), rng.uniform(1.4, 1.8, n),
+                         rng.uniform(1.5, 1.9, n)], -1)
+        rys = rng.uniform(-np.pi, np.pi, n)
+        alphas = rys - np.arctan2(locs[:, 0], locs[:, 2])
+        names = rng.choice(["Car", "Pedestrian", "Cyclist"], n)
+        gts.append(make_anno(names, bb, locs, dims, rys, alphas))
+
+        keep = rng.random(n) >= drop
+        m = int(keep.sum())
+        scores = score - rng.permutation(m)  # distinct descending-ish
+        score -= m + 1
+        jit = lambda a, s: a + rng.normal(0, s, a.shape) * jitter
+        dts.append(
+            make_anno(
+                names[keep], jit(bb[keep], 2.0), jit(locs[keep], 0.05),
+                dims[keep], jit(rys[keep], 0.02),
+                alphas[keep] + rng.normal(0, 0.02, m) * jitter,
+                scores,
+            )
+        )
+    return gts, dts
+
+
+@pytest.fixture(scope="module")
+def cpp_lib():
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("C++ matcher unavailable")
+    return lib
+
+
+def test_cpp_matches_python(cpp_lib, rng):
+    from monocon_tpu.eval.protocol import eval_class
+
+    gts, dts = random_scene(rng, num_images=5, jitter=1.0, drop=0.15)
+    # add DontCare regions to exercise suppression
+    gts[0]["name"][-1] = "DontCare"
+    gts[0]["truncated"][-1] = -1
+
+    for metric in (0, 1, 2):
+        cleaned = [clean_data(g, d, 0, 1) for g, d in zip(gts, dts)]
+        image_args = [
+            dict(
+                overlaps=compute_overlap(g, d, metric),
+                gt_alphas=g["alpha"], dt_alphas=d["alpha"],
+                dt_scores=d["score"], dt_bboxes=d["bbox"],
+                ignored_gt=c[1], ignored_dt=c[2], dc_bboxes=c[3],
+            )
+            for g, d, c in zip(gts, dts, cleaned)
+        ]
+        thresholds = np.linspace(970, 1000, 17)
+        for aos in (False, True):
+            pr_py = batch_match(image_args, metric, 0.5, thresholds, aos,
+                                force_python=True)
+            pr_cpp = batch_match(image_args, metric, 0.5, thresholds, aos)
+            np.testing.assert_allclose(pr_cpp, pr_py, rtol=1e-12,
+                                       err_msg=f"metric={metric} aos={aos}")
+
+
+def test_perfect_detection_ap40_is_100(rng):
+    # Need >= 41 valid GT per class so the 41 recall points are all
+    # reachable (with fewer GT, AP40 is undersampled by construction —
+    # the reference protocol behaves identically).
+    gts, dts = random_scene(rng, num_images=40, objs_per_img=12,
+                            jitter=0.0, drop=0.0)
+    result_str, ret = kitti_eval(gts, dts, ["Car", "Pedestrian", "Cyclist"])
+    for key, val in ret.items():
+        if "hard" in key or "moderate" in key or "easy" in key:
+            # every difficulty: perfect detections must give AP40 ~ 100
+            assert val > 95.0, (key, val)
+    assert "Eval Results" in result_str
+    assert "Overall" in result_str
+
+
+def test_ap_monotonic_under_degradation(rng):
+    gts, perfect = random_scene(rng, num_images=8, objs_per_img=10)
+    _, jittered = random_scene(
+        np.random.default_rng(1), num_images=8, objs_per_img=10
+    )
+    # same GT, degraded detections: drop 40%
+    _, dropped = random_scene(rng, num_images=8, objs_per_img=10)
+    gts2, dropped = random_scene(np.random.default_rng(0), num_images=8,
+                                 objs_per_img=10, drop=0.4)
+    _, ret_perfect = kitti_eval(gts, perfect, ["Car"], eval_types=["bbox"])
+    _, ret_dropped = kitti_eval(gts2, dropped, ["Car"], eval_types=["bbox"])
+    key = "KITTI/Car_2D_AP40_moderate_strict"
+    assert ret_perfect[key] > ret_dropped[key]
+
+
+def test_aos_auto_enable(rng):
+    gts, dts = random_scene(rng, num_images=4)
+    result_str, _ = kitti_eval(gts, dts, ["Car"], eval_types=["bbox"])
+    assert "aos" in result_str  # alphas valid -> AOS added
+    # 2D-branch annos with alpha = -10 must NOT trigger AOS
+    for d in dts:
+        d["alpha"] = np.full(len(d["alpha"]), -10.0)
+    result_str2, _ = kitti_eval(gts, dts, ["Car"], eval_types=["bbox"])
+    assert "aos" not in result_str2
+
+
+def test_clean_data_rules():
+    gt = make_anno(
+        ["Car", "Van", "Car", "Pedestrian", "DontCare"],
+        [[0, 0, 100, 50], [0, 0, 100, 50], [0, 0, 100, 30],
+         [0, 0, 50, 45], [0, 0, 20, 10]],
+        truncated=[0.0, 0.0, 0.0, 0.0, -1.0],
+        occluded=[0, 0, 0, 0, -1],
+    )
+    dt = make_anno(["Car", "Cyclist"], [[0, 0, 100, 50], [0, 0, 40, 45]],
+                   scores=[0.9, 0.8])
+    num_valid, ig_gt, ig_dt, dc = clean_data(gt, dt, 0, 0)  # Car, easy
+    assert num_valid == 1                     # second Car too small (h<=40)
+    assert list(ig_gt) == [0, 1, 1, -1, -1]   # Van -> ignore, Ped -> skip
+    assert list(ig_dt) == [0, -1]             # Cyclist det -> skip
+    assert dc.shape == (1, 4)
+
+
+def test_select_thresholds_spacing():
+    scores = np.linspace(0, 1, 200)
+    th = select_thresholds(scores.copy(), num_gt=200)
+    assert 38 <= len(th) <= 41
+    assert (np.diff(th) < 0).all()  # descending
+
+
+def test_image_box_overlap_values():
+    a = np.array([[0, 0, 10, 10]], np.float64)
+    b = np.array([[5, 0, 15, 10], [20, 20, 30, 30]], np.float64)
+    ov = image_box_overlap(a, b)
+    assert ov[0, 0] == pytest.approx(50 / 150)
+    assert ov[0, 1] == 0.0
+
+
+def test_3d_overlap_height_term():
+    from monocon_tpu.eval.protocol import d3_box_overlap
+
+    # two identical boxes -> IoU 1; shifted vertically by half height -> 1/3
+    box = np.array([[0.0, 1.5, 10.0, 4.0, 1.5, 1.6, 0.3]])
+    assert d3_box_overlap(box, box)[0, 0] == pytest.approx(1.0, abs=1e-6)
+    shifted = box.copy()
+    shifted[0, 1] += 0.75
+    assert d3_box_overlap(box, shifted)[0, 0] == pytest.approx(1 / 3, abs=1e-6)
