@@ -75,6 +75,7 @@ _DEFAULTS: Dict[str, Any] = {
         "NUM_WORKERS": 4,
         "TRAIN_SPLIT": "train",
         "TEST_SPLIT": "val",
+        "CROP_HW": [320, 960],  # train-time RandomCrop3D size
         "FILTER": {
             "MIN_HEIGHT": 25,
             "MIN_DEPTH": 2,
@@ -118,6 +119,7 @@ _DEFAULTS: Dict[str, Any] = {
         "DATA_AXIS": "data",          # mesh axis name for data parallelism
         "NUM_DEVICES": -1,            # -1: all local devices
         "PREFETCH_BATCHES": 2,        # host->device prefetch depth
+        "PAD_HW": [384, 1248],        # static batch canvas (null: per-batch)
         "SYNC_BATCH_NORM": True,      # cross-replica BN statistics under dp
     },
 }

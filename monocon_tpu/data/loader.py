@@ -128,19 +128,23 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for start in batch_starts:
-                    if stop.is_set():
-                        return
-                    idxs = order[start:start + self.batch_size]
-                    samples = list(
-                        pool.map(self._load_one, idxs, range(start, start + len(idxs)))
-                    )
-                    batch = collate(samples, self.pad_hw)
-                    if self.device_put_fn is not None:
-                        batch = self.device_put_fn(batch)
-                    out_q.put(batch)
-            out_q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for start in batch_starts:
+                        if stop.is_set():
+                            return
+                        idxs = order[start:start + self.batch_size]
+                        samples = list(
+                            pool.map(self._load_one, idxs,
+                                     range(start, start + len(idxs)))
+                        )
+                        batch = collate(samples, self.pad_hw)
+                        if self.device_put_fn is not None:
+                            batch = self.device_put_fn(batch)
+                        out_q.put(batch)
+                out_q.put(None)
+            except BaseException as exc:  # propagate to the consumer
+                out_q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -149,6 +153,8 @@ class DataLoader:
                 batch = out_q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

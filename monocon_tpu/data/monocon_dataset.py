@@ -125,18 +125,9 @@ class MonoConDataset(KittiMono3D):
 
             sel = np.where(keep)[0]
             m = len(sel)
-            labels["gt_bboxes"][:m] = raw.bbox[sel]
-            labels["gt_labels"][:m] = raw.cls_idx[sel]
-            labels["gt_bboxes_3d"][:m] = np.concatenate(
-                [loc2[sel], raw.dim_lhw[sel], alpha_local[sel, None]], axis=1
-            )
-            labels["gt_labels_3d"][:m] = raw.cls_idx[sel]
-            labels["centers2d"][:m] = centers[sel, :2]
-            labels["depths"][:m] = centers[sel, 2]
-            labels["gt_kpts_2d"][:m] = kpts[sel, :, :2].reshape(m, -1)
-            labels["gt_kpts_valid_mask"][:m] = vis[sel]
-            labels["mask"][:m] = True
-
+            if m > 0:
+                self._fill_labels(labels, raw, sel, loc2, alpha_local,
+                                  centers, kpts, vis)
         sample = {
             "img": image,
             "img_metas": metas,
@@ -144,6 +135,21 @@ class MonoConDataset(KittiMono3D):
             "label": labels,
         }
         return self.transforms(sample, rng)
+
+    def _fill_labels(self, labels, raw, sel, loc2, alpha_local, centers,
+                     kpts, vis) -> None:
+        m = len(sel)
+        labels["gt_bboxes"][:m] = raw.bbox[sel]
+        labels["gt_labels"][:m] = raw.cls_idx[sel]
+        labels["gt_bboxes_3d"][:m] = np.concatenate(
+            [loc2[sel], raw.dim_lhw[sel], alpha_local[sel, None]], axis=1
+        )
+        labels["gt_labels_3d"][:m] = raw.cls_idx[sel]
+        labels["centers2d"][:m] = centers[sel, :2]
+        labels["depths"][:m] = centers[sel, 2]
+        labels["gt_kpts_2d"][:m] = kpts[sel, :, :2].reshape(m, -1)
+        labels["gt_kpts_valid_mask"][:m] = vis[sel]
+        labels["mask"][:m] = True
 
     # Sequence protocol for simple iteration (reference __getitem__).
     def __getitem__(self, idx: int) -> Dict[str, Any]:

@@ -142,8 +142,18 @@ def random_scene_labels(rng: np.ndarray, num_objects: int, p2: np.ndarray,
                 ry=ry,
             )
         )
-    if not lines:  # always have at least one easy car
-        lines = [make_label_line()]
+    if not lines:
+        # Fallback: one easy car placed via the actual projection so its
+        # box is guaranteed inside this image size.
+        loc = np.array([[0.0, 1.6, 12.0]])
+        dims = np.array([[4.0, 1.55, 1.65]])
+        corners = boxes3d_to_corners(loc, dims, np.array([0.0]))
+        bbox = corners_to_image_bbox(corners, p2)[0]
+        bbox[0::2] = np.clip(bbox[0::2], 0, image_hw[1])
+        bbox[1::2] = np.clip(bbox[1::2], 0, image_hw[0])
+        lines = [make_label_line(bbox=bbox, loc=(0.0, 1.6, 12.0),
+                                 dim_hwl=(1.55, 1.65, 4.0), ry=0.0,
+                                 alpha=0.0)]
     # A DontCare region, as in real KITTI files.
     lines.append(
         "DontCare -1 -1 -10 500.00 170.00 590.00 190.00 -1 -1 -1 -1000 -1000 -1000 -10"
@@ -168,15 +178,21 @@ def generate_kitti_dataset(
         os.makedirs(os.path.join(training, sub), exist_ok=True)
     os.makedirs(os.path.join(root, "ImageSets"), exist_ok=True)
 
+    # Scale the intrinsics to the requested image size (as a camera resize
+    # would) so projections land inside the frame for any image_hw.
+    p2 = DEFAULT_P2.copy()
+    p2[0] *= image_hw[1] / DEFAULT_IMAGE_HW[1]
+    p2[1] *= image_hw[0] / DEFAULT_IMAGE_HW[0]
+
     total = num_train + num_val
     ids = [f"{i:06d}" for i in range(total)]
     for sample_id in ids:
         img = rng.integers(0, 255, size=(*image_hw, 3), dtype=np.uint8)
         cv2.imwrite(os.path.join(training, "image_2", f"{sample_id}.png"), img)
         with open(os.path.join(training, "calib", f"{sample_id}.txt"), "w") as f:
-            f.write(make_calib_text())
+            f.write(make_calib_text(p2))
         n_obj = int(rng.integers(1, max_objects + 1))
-        lines = random_scene_labels(rng, n_obj, DEFAULT_P2, image_hw)
+        lines = random_scene_labels(rng, n_obj, p2, image_hw)
         with open(os.path.join(training, "label_2", f"{sample_id}.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
 

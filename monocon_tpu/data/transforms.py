@@ -416,14 +416,16 @@ class Pad:
         return sample
 
 
-def default_train_transforms() -> List:
+def default_train_transforms(crop_hw: Tuple[int, int] = (320, 960)) -> List:
     """Reference pipeline (dataset/monocon_dataset.py:23-35), minus
-    ToTensor (batching stays numpy)."""
+    ToTensor (batching stays numpy). ``crop_hw`` parameterizes the fixed
+    crop for non-KITTI image sizes."""
     return [
         PhotometricDistortion(),
         RandomShift(prob=0.5, shift_range=(-32, 32)),
         RandomHorizontalFlip(prob=0.5),
-        RandomCrop3D(prob=0.5, crop_size=(320, 960), hide_kpts_in_crop_area=True),
+        RandomCrop3D(prob=0.5, crop_size=tuple(crop_hw),
+                     hide_kpts_in_crop_area=True),
         Normalize(),
         Pad(32),
     ]

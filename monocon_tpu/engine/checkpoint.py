@@ -1,0 +1,110 @@
+"""Orbax checkpointing with the reference's auto-resume contract.
+
+Parity: reference save/load_checkpoint (engine/base_engine.py:155-219) —
+checkpoints at ``{OUTPUT_DIR}/checkpoints/epoch_{E:03d}[_final]`` holding
+model + optimizer state plus engine counters; on engine construction the
+lexicographically latest checkpoint is restored automatically. (Without the
+reference's accidental pickling of datasets/loss history — SURVEY.md §5.)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .train_step import TrainState
+
+
+def _ckpt_name(epoch: int, final: bool = False) -> str:
+    return f"epoch_{epoch:03d}" + ("_final" if final else "")
+
+
+def save_checkpoint(
+    weight_dir: str,
+    state: TrainState,
+    epoch: int,
+    global_iters: int,
+    final: bool = False,
+    extra: Optional[Dict[str, Any]] = None,
+) -> str:
+    path = os.path.abspath(os.path.join(weight_dir, _ckpt_name(epoch, final)))
+    ckptr = ocp.StandardCheckpointer()
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    ckptr.save(os.path.join(path, "state"), jax.device_get(tree), force=True)
+    ckptr.wait_until_finished()
+    meta = {"epoch": epoch, "global_iters": global_iters, **(extra or {})}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def load_checkpoint(
+    path: str, template: TrainState
+) -> Tuple[TrainState, Dict[str, Any]]:
+    """Restore a checkpoint into the structure of ``template``."""
+    ckptr = ocp.StandardCheckpointer()
+    tree = {
+        "params": template.params,
+        "batch_stats": template.batch_stats,
+        "opt_state": template.opt_state,
+        "step": template.step,
+    }
+    restored = ckptr.restore(
+        os.path.abspath(os.path.join(path, "state")),
+        target=jax.device_get(tree),
+    )
+    state = TrainState(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    meta_path = os.path.join(path, "meta.json")
+    meta: Dict[str, Any] = {}
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def latest_checkpoint(weight_dir: str) -> Optional[str]:
+    """Lexicographically latest epoch_* checkpoint directory, mirroring the
+    reference's auto-resume scan (base_engine.py:63-71)."""
+    if not os.path.isdir(weight_dir):
+        return None
+    candidates = sorted(
+        d for d in glob.glob(os.path.join(weight_dir, "epoch_*"))
+        if os.path.isdir(d) and os.path.exists(os.path.join(d, "state"))
+    )
+    return candidates[-1] if candidates else None
+
+
+def load_weights_auto(path: str, template_variables: Dict[str, Any]
+                      ) -> Dict[str, Any]:
+    """Load model weights from either an orbax checkpoint dir or a
+    reference-format torch ``.pth`` (via the converter). Returns
+    {'params', 'batch_stats'}."""
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from ..utils.torch_convert import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
+    # Structure-free restore (numpy leaves) — enough for eval-time weights.
+    restored = ocp.PyTreeCheckpointer().restore(
+        os.path.join(os.path.abspath(path), "state")
+    )
+    return {
+        "params": restored["params"],
+        "batch_stats": restored["batch_stats"],
+    }

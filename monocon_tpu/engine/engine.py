@@ -1,0 +1,355 @@
+"""MonoCon training/evaluation engine.
+
+Parity: reference ``engine/base_engine.py`` + ``engine/monocon_engine.py``:
+1-based epoch counters, auto-resume from the latest checkpoint, periodic
+eval + checkpointing every EVAL_PERIOD epochs, per-step console logging
+with progress bar / LR / 100-step moving average, TensorBoard scalars
+(``loss/*``, ``eval/*``), config export at train start.
+
+TPU-native differences:
+  * one jitted SPMD train step over a data-parallel mesh (all local
+    devices by default) instead of a single-GPU loop;
+  * the eval path is a second jitted program (forward + decode) with the
+    score-threshold/KITTI conversion on host;
+  * checkpoints are Orbax trees (+ meta.json), and reference ``.pth``
+    checkpoints are importable via the weight converter.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigNode, export_cfg, get_default_cfg, load_cfg
+from ..data import DataLoader, MonoConDataset
+from ..models import MonoConDetector, create_detector_state
+from ..ops.decode import decode_predictions
+from ..parallel import make_mesh, replicate_state, shard_batch
+from ..solver import build_optimizer
+from ..utils.convert import (
+    convert_to_kitti_2d,
+    convert_to_kitti_3d,
+    split_batch_detections,
+    to_vis_format,
+)
+from ..utils.logging_utils import MetricsWriter, progress_bar, tprint
+from .checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    load_weights_auto,
+    save_checkpoint,
+)
+from .train_step import TrainState, create_train_state, make_train_step
+
+TEST_SCORE_THRESHOLD = 0.4  # reference DEFAULT_TEST_CFG (monocon_heads.py:30-35)
+
+
+class MonoConEngine:
+    def __init__(
+        self,
+        cfg: Union[str, ConfigNode, None] = None,
+        auto_resume: bool = True,
+        is_test: bool = False,
+    ):
+        if cfg is None:
+            cfg = get_default_cfg()
+        elif isinstance(cfg, str):
+            cfg = load_cfg(cfg)
+        self.cfg = cfg
+        self.is_test = is_test
+
+        # Counters (1-based, reference base_engine.py:35-42).
+        self.epochs = 1
+        self.global_iters = 1
+        self.target_epochs = cfg.SOLVER.OPTIM.NUM_EPOCHS
+        self.log_period = cfg.PERIOD.LOG_PERIOD
+        self.val_period = cfg.PERIOD.EVAL_PERIOD
+        self.entire_losses: List[float] = []
+        self.epoch_times: List[float] = []
+
+        # Mesh over the data axis (single device degenerates gracefully).
+        # Clamp to the largest device count dividing the batch size so the
+        # batch axis shards evenly.
+        n_dev = cfg.TPU.NUM_DEVICES
+        available = (len(jax.devices()) if n_dev in (-1, 0, None) else n_dev)
+        batch = cfg.DATA.BATCH_SIZE
+        while available > 1 and batch % available != 0:
+            available -= 1
+        self.mesh = make_mesh(available)
+        self.num_devices = self.mesh.devices.size
+
+        # Data.
+        self.train_dataset = self.train_loader = None
+        if not is_test:
+            self.train_dataset, self.train_loader = self._build_loader(True)
+        self.test_dataset, self.test_loader = self._build_loader(False)
+
+        # Model / solver / state.
+        dtype = (
+            jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else None
+        )
+        self.model, variables = create_detector_state(
+            jax.random.PRNGKey(max(cfg.SEED, 0)),
+            num_layers=cfg.MODEL.BACKBONE.NUM_LAYERS,
+            num_classes=cfg.MODEL.HEAD.NUM_CLASSES,
+            image_hw=(64, 96),  # init-only shape; model is shape-agnostic
+            dtype=dtype,
+        )
+        if not is_test:
+            total_steps = len(self.train_loader) * self.target_epochs
+            self.optimizer = build_optimizer(
+                lr=cfg.SOLVER.OPTIM.LR,
+                weight_decay=cfg.SOLVER.OPTIM.WEIGHT_DECAY,
+                total_steps=total_steps,
+                use_scheduler=cfg.SOLVER.SCHEDULER.ENABLE,
+                clip_grad_norm=(cfg.SOLVER.CLIP_GRAD.MAX_NORM
+                                if cfg.SOLVER.CLIP_GRAD.ENABLE else None),
+            )
+            self.state = create_train_state(variables, self.optimizer)
+            self.state = replicate_state(self.state, self.mesh)
+            self._train_step = jax.jit(
+                make_train_step(self.model, self.optimizer)
+            )
+        else:
+            self.optimizer = None
+            self.state = TrainState(
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+                opt_state=None,
+                step=jnp.zeros((), jnp.int32),
+            )
+
+        self._eval_fn = jax.jit(self._eval_forward)
+
+        # Output dirs + auto-resume (reference base_engine.py:57-78).
+        self.root = cfg.OUTPUT_DIR or "./outputs"
+        self.writer_dir = os.path.join(self.root, "tf_logs")
+        self.weight_dir = os.path.join(self.root, "checkpoints")
+        self.writer = None
+        if not is_test:
+            resumed = None
+            if auto_resume:
+                resumed = latest_checkpoint(self.weight_dir)
+            if resumed:
+                self.load_checkpoint(resumed)
+                tprint(f"Existing checkpoint '{resumed}' is found and loaded "
+                       "automatically.")
+            os.makedirs(self.writer_dir, exist_ok=True)
+            os.makedirs(self.weight_dir, exist_ok=True)
+            self.writer = MetricsWriter(self.writer_dir)
+
+    # ------------------------------------------------------------------
+    def _build_loader(self, is_train: bool):
+        from ..data.transforms import default_train_transforms
+
+        cfg = self.cfg
+        split = cfg.DATA.TRAIN_SPLIT if is_train else cfg.DATA.TEST_SPLIT
+        transforms = None
+        if is_train and split == "train":
+            transforms = default_train_transforms(
+                tuple(cfg.DATA.get("CROP_HW", (320, 960)))
+            )
+        dataset = MonoConDataset(
+            base_root=cfg.DATA.ROOT,
+            split=split,
+            max_objs=cfg.MODEL.HEAD.MAX_OBJS,
+            transforms=transforms,
+            filter_configs={
+                k.lower(): v for k, v in cfg.DATA.FILTER.items()
+            },
+        )
+        pad_hw = cfg.TPU.get("PAD_HW")
+        loader = DataLoader(
+            dataset,
+            batch_size=cfg.DATA.BATCH_SIZE,
+            shuffle=is_train,
+            num_workers=cfg.DATA.NUM_WORKERS,
+            drop_last=False,
+            pad_hw=tuple(pad_hw) if pad_hw else None,
+            seed=max(cfg.SEED, 0),
+            prefetch_batches=cfg.TPU.PREFETCH_BATCHES,
+        )
+        return dataset, loader
+
+    def _eval_forward(self, variables, image, p2):
+        pad_hw = (image.shape[1], image.shape[2])
+        pred = self.model.apply(variables, image, train=False)
+        return decode_predictions(pred, p2, pad_hw)
+
+    # ------------------------------------------------------------------
+    @property
+    def current_lr(self) -> float:
+        try:
+            hp = self.state.opt_state[-1].hyperparams
+            return float(hp["learning_rate"])
+        except Exception:
+            return float(self.cfg.SOLVER.OPTIM.LR)
+
+    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        dev = {
+            "img": jnp.asarray(batch["img"]),
+            "label": {k: jnp.asarray(v) for k, v in batch["label"].items()},
+        }
+        # Remainder batches (drop_last=False) may not divide the mesh;
+        # they run on the default device.
+        if batch["img"].shape[0] % self.num_devices == 0:
+            dev = shard_batch(dev, self.mesh)
+        return dev
+
+    def train_one_epoch(self) -> float:
+        epoch_losses = []
+        self.train_loader.set_epoch(self.epochs)
+        steps = len(self.train_loader)
+        for batch_idx, batch in enumerate(self.train_loader):
+            dev = self._device_batch(batch)
+            with self.mesh:
+                self.state, losses = self._train_step(self.state, dev)
+
+            if self.global_iters % self.log_period == 0:
+                loss_host = {k: float(v) for k, v in losses.items()}
+                total = loss_host.pop("total_loss")
+                self.entire_losses.append(total)
+                epoch_losses.append(total)
+                recent = self.entire_losses[-100:]
+                bar = progress_bar(batch_idx + 1, steps)
+                print(
+                    f"| Progress {bar} | LR {self.current_lr:.6f} "
+                    f"| Loss {total:8.4f} "
+                    f"({sum(recent) / len(recent):8.4f}) |",
+                    flush=True,
+                )
+                if self.writer is not None:
+                    self.writer.add_scalars(
+                        loss_host, tag="loss", step=self.global_iters
+                    )
+            self.global_iters += 1
+
+        # Losses are only materialized on log steps (keeping the device
+        # queue async between logs); epochs shorter than LOG_PERIOD report
+        # no average.
+        return float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+
+    def train(self, resume_from: Optional[str] = None) -> None:
+        assert self.epochs <= self.target_epochs
+        export_cfg(self.cfg, os.path.join(self.root, "config.yaml"))
+        if resume_from is not None:
+            self.load_checkpoint(resume_from)
+            tprint(f"Training resumes from '{resume_from}'. "
+                   f"(Start Epoch: {self.epochs})")
+
+        tprint(f"Training proceeds from epoch {self.epochs} to "
+               f"epoch {self.target_epochs}.")
+        tprint(f"Result files are saved to '{self.root}'.")
+        for _ in range(self.epochs, self.target_epochs + 1):
+            print(f" Epoch {self.epochs:3d} / {self.target_epochs:3d} "
+                  .center(90, "="))
+            t0 = time.time()
+            avg_loss = self.train_one_epoch()
+            elapsed = time.time() - t0
+            self.epoch_times.append(elapsed)
+
+            remaining = (self.target_epochs - self.epochs) * float(
+                np.mean(self.epoch_times)
+            )
+            print(f"\n- Average Loss: {avg_loss:.3f}")
+            print(f"- Epoch Time: {elapsed:.1f}s | ETA {remaining / 3600:.2f}h")
+
+            if (self.val_period > 0) and (self.epochs % self.val_period == 0):
+                eval_dict = self.evaluate()
+                if self.writer is not None:
+                    self.writer.add_scalars(
+                        eval_dict, tag="eval", step=self.epochs
+                    )
+                self.save_checkpoint()
+            self.epochs += 1
+        self.epochs = self.target_epochs
+        self.save_checkpoint(final=True)
+
+    # ------------------------------------------------------------------
+    def evaluate(self, verbose: bool = True) -> Dict[str, float]:
+        container: Dict[str, List] = {"img_bbox": [], "img_bbox2d": []}
+        for batch in self.test_loader:
+            results = self._run_eval_batch(batch)
+            container["img_bbox"].extend(results["img_bbox"])
+            container["img_bbox2d"].extend(results["img_bbox2d"])
+        return self.test_dataset.evaluate(
+            container,
+            eval_classes=("Pedestrian", "Cyclist", "Car"),
+            verbose=verbose,
+        )
+
+    def _run_eval_batch(self, batch: Dict[str, Any],
+                        vis_format: bool = False):
+        variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        decoded = self._eval_fn(
+            variables, jnp.asarray(batch["img"]), jnp.asarray(batch["p2"])
+        )
+        decoded = {k: np.asarray(v) for k, v in decoded.items()}
+        per_image = split_batch_detections(decoded, TEST_SCORE_THRESHOLD)
+        if vis_format:
+            return to_vis_format(per_image)
+        return {
+            "img_bbox": convert_to_kitti_3d(
+                per_image, batch["img_metas"], batch["calib"]
+            ),
+            "img_bbox2d": convert_to_kitti_2d(per_image, batch["img_metas"]),
+        }
+
+    def visualize(self, output_dir: str,
+                  draw_items: List[str] = ("2d", "3d", "bev")) -> None:
+        from ..utils.visualizer import Visualizer
+
+        vis_container: List[Dict] = []
+        scale_hw = None
+        for batch in self.test_loader:
+            if scale_hw is None and batch["img_metas"].get("scale_hw"):
+                scale_hw = batch["img_metas"]["scale_hw"][0]
+            vis_container.extend(self._run_eval_batch(batch, vis_format=True))
+
+        visualizer = Visualizer(self.test_dataset, vis_container,
+                                scale_hw=scale_hw)
+        fn_map = {"2d": visualizer.plot_bboxes_2d,
+                  "3d": visualizer.plot_bboxes_3d,
+                  "bev": visualizer.plot_bev}
+        for item in draw_items:
+            save_dir = os.path.join(output_dir, item)
+            os.makedirs(save_dir, exist_ok=True)
+            for idx in range(len(self.test_dataset)):
+                name = os.path.basename(self.test_dataset.image_path(idx))
+                fn_map[item](idx, save_path=os.path.join(save_dir, name))
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, final: bool = False) -> str:
+        path = save_checkpoint(
+            self.weight_dir, self.state, self.epochs, self.global_iters,
+            final=final,
+        )
+        tprint(f"Checkpoint saved to '{path}'.")
+        return path
+
+    def load_checkpoint(self, path: str) -> None:
+        if path.endswith(".pth") or path.endswith(".pt") or self.is_test:
+            variables = load_weights_auto(
+                path,
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats},
+            )
+            self.state = TrainState(
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+                opt_state=self.state.opt_state,
+                step=self.state.step,
+            )
+            return
+        self.state, meta = load_checkpoint(path, self.state)
+        self.state = replicate_state(self.state, self.mesh)
+        self.epochs = int(meta.get("epoch", 0)) + 1
+        self.global_iters = int(meta.get("global_iters", 1))

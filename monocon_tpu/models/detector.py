@@ -62,9 +62,14 @@ def create_detector_state(
     dtype: Optional[Dtype] = None,
 ) -> Tuple[MonoConDetector, Dict[str, Any]]:
     """Initialize model variables ({'params', 'batch_stats'})."""
+    import jax
+
     model = MonoConDetector(
         num_layers=num_layers, num_classes=num_classes, dtype=dtype
     )
     dummy = jnp.zeros((1, *image_hw, 3), jnp.float32)
-    variables = model.init(rng, dummy, train=False)
+    # jit the initializer: one compiled program instead of hundreds of
+    # eager op dispatches (and it hits the persistent compilation cache).
+    init_fn = jax.jit(lambda r, x: model.init(r, x, train=False))
+    variables = jax.tree.map(lambda a: a, init_fn(rng, dummy))
     return model, variables

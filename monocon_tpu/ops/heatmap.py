@@ -70,4 +70,6 @@ def gather_feature(feat: jnp.ndarray, spatial_inds: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = feat.shape
     flat = feat.reshape(b, h * w, c)
     inds = spatial_inds[..., None].astype(jnp.int32)
-    return jnp.take_along_axis(flat, inds, axis=1)
+    # mode="clip": out-of-range indices (masked slots, boundary boxes)
+    # clamp instead of filling with NaN.
+    return jnp.take_along_axis(flat, inds, axis=1, mode="clip")

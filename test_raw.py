@@ -1,0 +1,66 @@
+"""Video inference on KITTI raw drive sequences.
+
+Mirrors the reference ``test_raw.py`` flags (test_raw.py:16-32):
+--data_dir (frames), --calib_file (calib_cam_to_cam.txt),
+--checkpoint_file, --save_dir, --fps.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monocon_tpu.data import KITTIRawDataset
+from monocon_tpu.engine.checkpoint import load_weights_auto
+from monocon_tpu.models import create_detector_state
+from monocon_tpu.ops.decode import decode_predictions
+from monocon_tpu.utils import split_batch_detections, to_vis_format, tprint
+from monocon_tpu.utils.visualizer import Visualizer
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="MonoCon-TPU raw inference")
+    parser.add_argument("--data_dir", type=str, required=True,
+                        help="directory with the drive's image_2 frames")
+    parser.add_argument("--calib_file", type=str, required=True,
+                        help="calib_cam_to_cam.txt of the drive")
+    parser.add_argument("--checkpoint_file", type=str, required=True)
+    parser.add_argument("--save_dir", type=str, default="./raw_results")
+    parser.add_argument("--fps", type=int, default=20)
+    parser.add_argument("--score_threshold", type=float, default=0.4)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    dataset = KITTIRawDataset(args.data_dir, args.calib_file)
+    tprint(f"{len(dataset)} frames found.")
+
+    model, variables = create_detector_state(jax.random.PRNGKey(0))
+    variables = load_weights_auto(args.checkpoint_file, variables)
+
+    @jax.jit
+    def forward(variables, image, p2):
+        pad_hw = (image.shape[1], image.shape[2])
+        pred = model.apply(variables, image, train=False)
+        return decode_predictions(pred, p2, pad_hw)
+
+    results = []
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        p2 = jnp.asarray(sample["calib"][0].P2[None].astype(np.float32))
+        decoded = forward(variables, jnp.asarray(sample["img"]), p2)
+        per_image = split_batch_detections(
+            {k: np.asarray(v) for k, v in decoded.items()},
+            args.score_threshold,
+        )
+        results.extend(to_vis_format(per_image))
+
+    visualizer = Visualizer(dataset, results)
+    visualizer.export_as_video(args.save_dir, ["2d", "3d", "bev"], args.fps)
+    tprint(f"Videos exported to '{args.save_dir}'.")
+
+
+if __name__ == "__main__":
+    main()

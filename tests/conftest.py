@@ -20,6 +20,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: do NOT enable the persistent compilation cache here — on this host
+# XLA:CPU AOT artifacts reload with mismatched machine features ("could
+# lead to SIGILL") and produce nondeterministic numerics.
 
 import numpy as np
 import pytest
