@@ -1,0 +1,127 @@
+"""Coverage for the remaining inventory items: ImageNet backbone import,
+coco-style eval, raw dataset, profiling utils, config round-trip."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_imagenet_backbone_conversion(tmp_path):
+    """A DLA-34 ImageNet classification state dict (with fc head) loads
+    into the backbone subtree."""
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        torch.manual_seed(0)
+        from model.backbone.dla import DLA as TorchDLA
+    finally:
+        sys.path.pop(0)
+    torch_bb = TorchDLA(34, pretrained=False)
+    state = torch_bb.state_dict()
+    # fake classifier head entries like the model-zoo files carry
+    state["fc.weight"] = torch.zeros(1000, 512)
+    state["fc.bias"] = torch.zeros(1000)
+    path = str(tmp_path / "dla34_imagenet.pth")
+    torch.save(state, path)
+
+    import jax
+    import jax.numpy as jnp
+
+    from monocon_tpu.models.dla import DLA
+    from monocon_tpu.utils.torch_convert import load_imagenet_backbone
+
+    variables = load_imagenet_backbone(path)
+    bb = DLA(34)
+    x = np.random.default_rng(0).normal(size=(1, 3, 64, 96)).astype(np.float32)
+    torch_bb.eval()
+    with torch.no_grad():
+        ref = torch_bb(torch.from_numpy(x))
+    ours = bb.apply(
+        {"params": variables["params"]["backbone"],
+         "batch_stats": variables["batch_stats"]["backbone"]},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False,
+    )
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(a), (0, 3, 1, 2)), b.numpy(),
+            rtol=1e-3, atol=1e-4, err_msg=f"level{i}",
+        )
+
+
+def test_coco_style_eval(rng):
+    from monocon_tpu.eval import kitti_eval_coco_style
+    from tests.test_kitti_eval import random_scene
+
+    gts, dts = random_scene(rng, num_images=10, objs_per_img=8)
+    result = kitti_eval_coco_style(gts, dts, ["Car"])
+    assert "coco AP@0.50:0.05:0.95" in result
+    assert "bbox AP" in result and "3d   AP" in result
+
+
+def test_raw_dataset_and_video(tmp_path):
+    import cv2
+
+    from monocon_tpu.data import KITTIRawDataset
+    from monocon_tpu.utils.visualizer import Visualizer
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(frames / f"{i:010d}.png"),
+                    rng.integers(0, 255, (96, 320, 3), np.uint8))
+    calib = tmp_path / "calib_cam_to_cam.txt"
+    calib.write_text(
+        "P_rect_02: 7.2e+02 0.0 6.0e+02 4.4e+01 0.0 7.2e+02 1.7e+02 "
+        "2.1e-01 0.0 0.0 1.0 2.7e-03\n"
+    )
+    ds = KITTIRawDataset(str(frames), str(calib))
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["img"].shape[0] == 1 and s["img"].shape[3] == 3
+    assert s["ori_img"].shape[1:3] == (96, 320)
+    assert s["calib"][0].P2.shape == (3, 4)
+
+    vis_format = [
+        {"img_bbox": {"boxes_3d": np.zeros((0, 7)),
+                      "scores_3d": np.zeros(0),
+                      "labels_3d": np.zeros(0, np.int32)},
+         "img_bbox2d": [np.zeros((0, 5))] * 3}
+        for _ in range(3)
+    ]
+    viz = Visualizer(ds, vis_format)
+    out = tmp_path / "video"
+    viz.export_as_video(str(out), ["bev"], fps=5)
+    assert os.path.getsize(out / "bev.mp4") > 0
+
+
+def test_profiling_utils():
+    import jax.numpy as jnp
+
+    from monocon_tpu.utils.profiling import sync_timer, timed
+
+    @timed
+    def f(x):
+        return x + 1
+
+    result, elapsed = f(1)
+    assert result == 2 and elapsed >= 0
+
+    dt = sync_timer(lambda x: x * 2, jnp.ones((8, 8)), iters=3, warmup=1)
+    assert dt > 0
+
+
+def test_config_roundtrip(tmp_path):
+    from monocon_tpu.config import export_cfg, get_default_cfg, load_cfg
+
+    cfg = get_default_cfg()
+    cfg.DATA.BATCH_SIZE = 12
+    path = str(tmp_path / "cfg.yaml")
+    export_cfg(cfg, path)
+    cfg2 = load_cfg(path)
+    assert cfg2.DATA.BATCH_SIZE == 12
+    assert cfg2.MODEL.BACKBONE.NUM_LAYERS == 34
+    assert cfg2.to_plain_dict() == cfg.to_plain_dict()
