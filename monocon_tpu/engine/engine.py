@@ -112,8 +112,11 @@ class MonoConEngine:
             )
             self.state = create_train_state(variables, self.optimizer)
             self.state = replicate_state(self.state, self.mesh)
+            # Donate the state: optimizer/batch-stat buffers update in
+            # place, halving peak HBM for the step.
             self._train_step = jax.jit(
-                make_train_step(self.model, self.optimizer)
+                make_train_step(self.model, self.optimizer),
+                donate_argnums=0,
             )
         else:
             self.optimizer = None

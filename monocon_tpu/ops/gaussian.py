@@ -91,8 +91,10 @@ def splat_max_heatmap(
     gauss = jnp.where(gauss < _F32_EPS, 0.0, gauss)
     gauss = jnp.where(valid[:, :, None, None], gauss, 0.0)
 
-    # Per-channel masked max over instances; C is small (3 classes / 9 kpts)
-    # so an unrolled loop fuses cleanly.
+    if num_channels == 1:
+        return jnp.max(gauss, axis=1)[:, None]                     # (B, 1, H, W)
+    # Per-channel masked max over instances; C is small (3 classes) so an
+    # unrolled loop fuses cleanly.
     chans = []
     for c in range(num_channels):
         sel = (channel_id == c)[:, :, None, None]
