@@ -176,6 +176,9 @@ class MonoConEngine:
             pad_hw=tuple(pad_hw) if pad_hw else None,
             seed=max(cfg.SEED, 0),
             prefetch_batches=cfg.TPU.PREFETCH_BATCHES,
+            # Device placement happens on the loader's prefetch thread so
+            # H2D transfers overlap the previous step's compute.
+            device_put_fn=self._device_batch if is_train else None,
         )
         return dataset, loader
 
@@ -194,15 +197,23 @@ class MonoConEngine:
             return float(self.cfg.SOLVER.OPTIM.LR)
 
     def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Place the train tensors of a host batch on device (idempotent:
+        already-placed batches pass through)."""
+        img = batch["img"]
+        if isinstance(img, jax.Array):
+            return batch
         dev = {
-            "img": jnp.asarray(batch["img"]),
+            "img": jnp.asarray(img),
             "label": {k: jnp.asarray(v) for k, v in batch["label"].items()},
         }
         # Remainder batches (drop_last=False) may not divide the mesh;
         # they run on the default device.
-        if batch["img"].shape[0] % self.num_devices == 0:
+        if img.shape[0] % self.num_devices == 0:
             dev = shard_batch(dev, self.mesh)
-        return dev
+        # keep host-side fields for logging/debugging consumers
+        out = dict(batch)
+        out.update(dev)
+        return out
 
     def train_one_epoch(self) -> float:
         epoch_losses = []
@@ -210,8 +221,9 @@ class MonoConEngine:
         steps = len(self.train_loader)
         for batch_idx, batch in enumerate(self.train_loader):
             dev = self._device_batch(batch)
+            step_in = {"img": dev["img"], "label": dev["label"]}
             with self.mesh:
-                self.state, losses = self._train_step(self.state, dev)
+                self.state, losses = self._train_step(self.state, step_in)
 
             if self.global_iters % self.log_period == 0:
                 loss_host = {k: float(v) for k, v in losses.items()}
