@@ -88,6 +88,10 @@ _DEFAULTS: Dict[str, Any] = {
         "BACKBONE": {
             "NUM_LAYERS": 34,
             "IMAGENET_PRETRAINED": True,
+            # Local path to a DLA ImageNet .pth (e.g. dla34-ba72cf86.pth
+            # from the reference's model zoo); converted at engine build.
+            # Empty: He initialization (reference fallback, dla.py:264).
+            "PRETRAINED_PATH": "",
         },
         "HEAD": {
             "NUM_CLASSES": 3,

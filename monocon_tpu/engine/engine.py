@@ -100,6 +100,17 @@ class MonoConEngine:
             image_hw=(64, 96),  # init-only shape; model is shape-agnostic
             dtype=dtype,
         )
+        pretrained = cfg.MODEL.BACKBONE.get("PRETRAINED_PATH", "")
+        if (not is_test and cfg.MODEL.BACKBONE.IMAGENET_PRETRAINED
+                and pretrained):
+            from ..utils.torch_convert import load_imagenet_backbone
+
+            bb = load_imagenet_backbone(pretrained)
+            variables["params"]["backbone"] = bb["params"]["backbone"]
+            variables["batch_stats"]["backbone"] = (
+                bb["batch_stats"]["backbone"]
+            )
+            tprint(f"ImageNet backbone loaded from '{pretrained}'.")
         if not is_test:
             total_steps = len(self.train_loader) * self.target_epochs
             self.optimizer = build_optimizer(
@@ -304,9 +315,15 @@ class MonoConEngine:
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
         }
-        decoded = self._eval_fn(
-            variables, jnp.asarray(batch["img"]), jnp.asarray(batch["p2"])
-        )
+        img = jnp.asarray(batch["img"])
+        p2 = jnp.asarray(batch["p2"])
+        # Shard full batches across the data mesh (remainders run on the
+        # default device).
+        if img.shape[0] % self.num_devices == 0 and self.num_devices > 1:
+            sharded = shard_batch({"img": img, "p2": p2}, self.mesh)
+            img, p2 = sharded["img"], sharded["p2"]
+        with self.mesh:
+            decoded = self._eval_fn(variables, img, p2)
         decoded = {k: np.asarray(v) for k, v in decoded.items()}
         per_image = split_batch_detections(decoded, TEST_SCORE_THRESHOLD)
         if vis_format:
