@@ -116,6 +116,10 @@ _DEFAULTS: Dict[str, Any] = {
     "PERIOD": {
         "EVAL_PERIOD": 10,
         "LOG_PERIOD": 50,
+        # Preemption-safe mid-epoch checkpointing, in steps (0 = off).
+        # Additive over the reference (which only checkpoints at eval
+        # epochs); useful on preemptible TPU pools.
+        "CKPT_PERIOD_STEPS": 0,
     },
     # TPU-native knobs (additive over the reference key tree).
     "TPU": {

@@ -69,6 +69,7 @@ class MonoConEngine:
         self.target_epochs = cfg.SOLVER.OPTIM.NUM_EPOCHS
         self.log_period = cfg.PERIOD.LOG_PERIOD
         self.val_period = cfg.PERIOD.EVAL_PERIOD
+        self.ckpt_period_steps = cfg.PERIOD.get("CKPT_PERIOD_STEPS", 0)
         self.entire_losses: List[float] = []
         self.epoch_times: List[float] = []
 
@@ -253,6 +254,9 @@ class MonoConEngine:
                     self.writer.add_scalars(
                         loss_host, tag="loss", step=self.global_iters
                     )
+            if (self.ckpt_period_steps > 0
+                    and self.global_iters % self.ckpt_period_steps == 0):
+                self.save_checkpoint()
             self.global_iters += 1
 
         # Losses are only materialized on log steps (keeping the device
@@ -298,32 +302,53 @@ class MonoConEngine:
 
     # ------------------------------------------------------------------
     def evaluate(self, verbose: bool = True) -> Dict[str, float]:
+        """Collect detections over the test split and run KITTI AP.
+
+        Software-pipelined: batch i+1's forward is dispatched (async)
+        before batch i's device->host transfer + KITTI conversion, so the
+        chip never waits on the host.
+        """
         container: Dict[str, List] = {"img_bbox": [], "img_bbox2d": []}
+        pending = None  # (decoded_device, batch)
         for batch in self.test_loader:
-            results = self._run_eval_batch(batch)
-            container["img_bbox"].extend(results["img_bbox"])
-            container["img_bbox2d"].extend(results["img_bbox2d"])
+            decoded = self._dispatch_eval(batch)
+            if pending is not None:
+                self._collect_eval(*pending, container)
+            pending = (decoded, batch)
+        if pending is not None:
+            self._collect_eval(*pending, container)
         return self.test_dataset.evaluate(
             container,
             eval_classes=("Pedestrian", "Cyclist", "Car"),
             verbose=verbose,
         )
 
-    def _run_eval_batch(self, batch: Dict[str, Any],
-                        vis_format: bool = False):
+    def _dispatch_eval(self, batch: Dict[str, Any]):
         variables = {
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
         }
         img = jnp.asarray(batch["img"])
         p2 = jnp.asarray(batch["p2"])
-        # Shard full batches across the data mesh (remainders run on the
-        # default device).
         if img.shape[0] % self.num_devices == 0 and self.num_devices > 1:
             sharded = shard_batch({"img": img, "p2": p2}, self.mesh)
             img, p2 = sharded["img"], sharded["p2"]
         with self.mesh:
-            decoded = self._eval_fn(variables, img, p2)
+            return self._eval_fn(variables, img, p2)
+
+    def _collect_eval(self, decoded, batch, container) -> None:
+        decoded = {k: np.asarray(v) for k, v in decoded.items()}
+        per_image = split_batch_detections(decoded, TEST_SCORE_THRESHOLD)
+        container["img_bbox"].extend(
+            convert_to_kitti_3d(per_image, batch["img_metas"], batch["calib"])
+        )
+        container["img_bbox2d"].extend(
+            convert_to_kitti_2d(per_image, batch["img_metas"])
+        )
+
+    def _run_eval_batch(self, batch: Dict[str, Any],
+                        vis_format: bool = False):
+        decoded = self._dispatch_eval(batch)
         decoded = {k: np.asarray(v) for k, v in decoded.items()}
         per_image = split_batch_detections(decoded, TEST_SCORE_THRESHOLD)
         if vis_format:
