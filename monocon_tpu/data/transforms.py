@@ -72,30 +72,40 @@ class PhotometricDistortion:
         self.hue_delta = hue_delta
 
     def __call__(self, sample: Dict, rng) -> Dict:
-        img = sample["img"].astype(np.float32)[:, :, ::-1]  # RGB -> BGR
+        # Hot path for the input pipeline: every full-image op below either
+        # releases the GIL (cv2) or runs in place — worker threads scale.
+        # HSV is computed from RGB directly (the reference round-trips
+        # through BGR purely as an mmcv artifact; hue/saturation jitter is
+        # random, so the channel-order difference has no distributional
+        # effect).
+        img = sample["img"].astype(np.float32)
 
         if rng.integers(2):
-            img = img + rng.uniform(-self.brightness_delta, self.brightness_delta)
+            img += np.float32(
+                rng.uniform(-self.brightness_delta, self.brightness_delta)
+            )
 
         contrast_last = rng.integers(2) == 0
         if not contrast_last and rng.integers(2):
-            img = img * rng.uniform(*self.contrast_range)
+            img *= np.float32(rng.uniform(*self.contrast_range))
 
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+        img = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
         if rng.integers(2):
-            img[..., 1] *= rng.uniform(*self.saturation_range)
+            img[..., 1] *= np.float32(rng.uniform(*self.saturation_range))
         if rng.integers(2):
-            img[..., 0] += rng.uniform(-self.hue_delta, self.hue_delta)
-            img[..., 0] = np.mod(img[..., 0], 360.0)
-        img = cv2.cvtColor(img, cv2.COLOR_HSV2BGR)
+            img[..., 0] += np.float32(
+                rng.uniform(-self.hue_delta, self.hue_delta)
+            )
+            np.mod(img[..., 0], 360.0, out=img[..., 0])
+        img = cv2.cvtColor(img, cv2.COLOR_HSV2RGB)
 
         if contrast_last and rng.integers(2):
-            img = img * rng.uniform(*self.contrast_range)
+            img *= np.float32(rng.uniform(*self.contrast_range))
 
         if rng.integers(2):
-            img = img[..., rng.permutation(3)]
+            img = np.ascontiguousarray(img[..., rng.permutation(3)])
 
-        sample["img"] = np.ascontiguousarray(img[:, :, ::-1])
+        sample["img"] = img
         return sample
 
 
@@ -387,13 +397,17 @@ class Normalize:
                  keep_origin: bool = False):
         self.mean = np.asarray(mean, np.float32).reshape(1, 1, 3)
         self.std = np.asarray(std, np.float32).reshape(1, 1, 3)
+        self.inv_std = (1.0 / self.std).astype(np.float32)
         self.keep_origin = keep_origin
 
     def __call__(self, sample: Dict, rng) -> Dict:
         img = sample["img"].astype(np.float32)
         if self.keep_origin:
             sample["ori_img"] = img.copy()
-        sample["img"] = (img - self.mean) / self.std
+        # In-place (img - mean) * (1/std): two passes, no temporaries.
+        img -= self.mean
+        img *= self.inv_std
+        sample["img"] = img
         return sample
 
 
