@@ -12,11 +12,9 @@ from __future__ import annotations
 import glob
 import json
 import os
-import re
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from .train_step import TrainState

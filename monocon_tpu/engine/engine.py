@@ -27,7 +27,7 @@ import numpy as np
 
 from ..config import ConfigNode, export_cfg, get_default_cfg, load_cfg
 from ..data import DataLoader, MonoConDataset
-from ..models import MonoConDetector, create_detector_state
+from ..models import create_detector_state
 from ..ops.decode import decode_predictions
 from ..parallel import make_mesh, replicate_state, shard_batch
 from ..solver import build_optimizer

@@ -9,7 +9,7 @@ its loss weights (wh 0.1, all others 1.0, monocon_heads.py:98-111).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

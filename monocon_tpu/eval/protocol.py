@@ -13,7 +13,6 @@ Annotation dicts: {'name','truncated','occluded','alpha','bbox',
 
 from __future__ import annotations
 
-import io
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np

@@ -12,7 +12,7 @@ BatchNorm are global (XLA inserts the collectives), so cross-replica
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

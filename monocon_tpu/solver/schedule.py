@@ -12,9 +12,6 @@ schedules evaluate at (count + 1).
 
 from __future__ import annotations
 
-import math
-from typing import NamedTuple
-
 import jax.numpy as jnp
 import optax
 

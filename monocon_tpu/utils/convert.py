@@ -16,11 +16,7 @@ from typing import Any, Dict, List, Sequence
 import numpy as np
 
 from ..data.calib import Calibration
-from ..data.geometry import (
-    boxes3d_to_corners,
-    expand_projection,
-    project_to_image,
-)
+from ..data.geometry import boxes3d_to_corners, project_to_image
 
 CLASSES = ("Pedestrian", "Cyclist", "Car")
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 from datetime import datetime
-from typing import Dict, Optional
+from typing import Dict
 
 
 def tprint(message: str, indent: bool = False) -> None:

@@ -14,7 +14,6 @@ This module is host-side tooling; torch (CPU) is only imported on demand.
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Tuple
 
 import numpy as np
