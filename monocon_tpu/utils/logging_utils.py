@@ -11,6 +11,28 @@ from datetime import datetime
 from typing import Dict
 
 
+def count_params(params) -> int:
+    """Total parameter count of a params pytree (reference
+    ``count_trainable_params``, utils/engine_utils.py:34)."""
+    import jax
+
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def export_dict_to_csv(data: Dict, save_path: str) -> None:
+    """Column-per-key CSV export (reference ``export_dict_to_csv``,
+    utils/engine_utils.py:55-57)."""
+    import csv
+
+    keys = list(data.keys())
+    rows = zip(*[data[k] if isinstance(data[k], (list, tuple)) else [data[k]]
+                 for k in keys])
+    with open(save_path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(keys)
+        writer.writerows(rows)
+
+
 def tprint(message: str, indent: bool = False) -> None:
     now = str(datetime.now())[:-7]
     line = f"[{now}] {message}"
