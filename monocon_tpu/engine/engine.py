@@ -264,8 +264,29 @@ class MonoConEngine:
         # no average.
         return float(np.mean(epoch_losses)) if epoch_losses else float("nan")
 
+    def _print_engine_info(self) -> None:
+        """Engine banner (reference base_engine.py:253-269)."""
+        from ..utils.logging_utils import count_params
+
+        print("=" * 70)
+        print(f" MonoCon-TPU Engine | {self.cfg.VERSION}")
+        print(f" - Description : {self.cfg.DESCRIPTION}")
+        print(f" - Devices     : {self.num_devices} x "
+              f"{jax.devices()[0].platform.upper()} "
+              f"({jax.devices()[0].device_kind})")
+        print(f" - Model       : DLA-{self.cfg.MODEL.BACKBONE.NUM_LAYERS}, "
+              f"{count_params(self.state.params) / 1e6:.2f}M params")
+        if self.train_dataset is not None:
+            print(f" - Train Data  : {len(self.train_dataset)} samples "
+                  f"({self.cfg.DATA.TRAIN_SPLIT})")
+        print(f" - Test Data   : {len(self.test_dataset)} samples "
+              f"({self.cfg.DATA.TEST_SPLIT})")
+        print(f" - Batch/Seed  : {self.cfg.DATA.BATCH_SIZE} / {self.cfg.SEED}")
+        print("=" * 70)
+
     def train(self, resume_from: Optional[str] = None) -> None:
         assert self.epochs <= self.target_epochs
+        self._print_engine_info()
         export_cfg(self.cfg, os.path.join(self.root, "config.yaml"))
         if resume_from is not None:
             self.load_checkpoint(resume_from)
