@@ -10,6 +10,10 @@ Prints exactly one JSON line:
 where vs_baseline = our_fps / torch_cpu_fps.
 """
 
+from monocon_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 import json
 import os
 import sys

@@ -5,6 +5,10 @@ Mirrors the reference ``test.py`` flags (test.py:13-26): --config_file,
 --save_dir. ``--gpu_id`` is accepted for compatibility and ignored on TPU.
 """
 
+from monocon_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 import argparse
 
 from monocon_tpu.config import get_default_cfg, load_cfg

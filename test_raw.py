@@ -5,6 +5,10 @@ Mirrors the reference ``test_raw.py`` flags (test_raw.py:16-32):
 --checkpoint_file, --save_dir, --fps.
 """
 
+from monocon_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 import argparse
 
 import jax

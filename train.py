@@ -6,6 +6,10 @@ auto-resume. The reference's cudnn/TF32 toggles have no TPU analog — XLA
 handles conv algorithm selection.
 """
 
+from monocon_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 import argparse
 import random
 
