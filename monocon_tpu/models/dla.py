@@ -6,18 +6,159 @@ aggregation, 7x7 stride-1 stem, six output levels at strides
 1/1/2/4/8/16/32 relative... (levels 0-5 at strides 1,2,4,8,16,32).
 ImageNet weights are imported from a local torch checkpoint via
 ``monocon_tpu.utils.torch_convert`` (no network download).
+
+TPU note — space-to-depth stem. The reference stem (7x7 s1 3->16 at full
+resolution, then 3x3 s1 16->16, then 3x3 s2 16->32) maps terribly onto
+the MXU: <=16 of 128 lanes used, and XLA pads/transposes full-resolution
+activations between the convs (measured ~56% of the whole forward). We
+compute the same three convs in block-4 space-to-depth domain instead —
+a pure reindexing of the kernels (``_block_kernel``), numerically the
+same convolution (measured 2.9x on a v5e: 21.0 -> 7.2 ms for the chain
+at batch 16 bf16, scripts/stem_experiments.py). Parameters stay in the
+reference's full-resolution layout, so init, checkpoints, and torch
+weight import are unchanged; BatchNorm statistics are reduced per
+ORIGINAL channel (across the folded phases), identical to full-res BN.
 """
 
 from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import numpy as np
+
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 from .layers import BN_EPS, BN_MOMENTUM, ConvBnRelu, he_normal_conv_init
 
 Dtype = Any
+
+
+def space_to_depth(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H/b,W/b,b*b*C), channel layout (pi, pj, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // b, b, W // b, b, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // b, W // b, b * b * C)
+
+
+def depth_to_space(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    B, Hb, Wb, P = x.shape
+    c = P // (b * b)
+    x = x.reshape(B, Hb, Wb, b, b, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, Hb * b, Wb * b, c)
+
+
+def _block_kernel(k: jnp.ndarray, block: int, stride: int, pad: int):
+    """Re-express a full-resolution conv kernel (kh,kw,ci,co) as a
+    block-domain kernel with block-domain stride 1: input in
+    space_to_depth(block) layout, output in space_to_depth(block//stride)
+    layout. Exact reindexing — every original tap lands once, the rest of
+    the block kernel is zero. Returns (kernel, pad_h, pad_w)."""
+    kh, kw, ci, co = k.shape
+    bo = block // stride
+    qs = range(bo)
+    lo_h = min((stride * q + u - pad) // block for q in qs for u in (0,))
+    hi_h = max((stride * q + kh - 1 - pad) // block for q in qs)
+    lo_w = min((stride * q + v - pad) // block for q in qs for v in (0,))
+    hi_w = max((stride * q + kw - 1 - pad) // block for q in qs)
+    kbh, kbw = hi_h - lo_h + 1, hi_w - lo_w + 1
+
+    # Static index maps for one gather + one scatter over the tap table.
+    u_, v_, qi_, qj_ = np.meshgrid(
+        np.arange(kh), np.arange(kw), np.arange(bo), np.arange(bo),
+        indexing="ij",
+    )
+    u_, v_, qi_, qj_ = (a.ravel() for a in (u_, v_, qi_, qj_))
+    bi, pi = np.divmod(stride * qi_ + u_ - pad, block)
+    bj, pj = np.divmod(stride * qj_ + v_ - pad, block)
+    t = len(u_)
+    ci_idx = ((pi * block + pj)[:, None, None] * ci
+              + np.arange(ci)[None, :, None])
+    co_idx = ((qi_ * bo + qj_)[:, None, None] * co
+              + np.arange(co)[None, None, :])
+    bi_idx = np.broadcast_to((bi - lo_h)[:, None, None], (t, ci, co))
+    bj_idx = np.broadcast_to((bj - lo_w)[:, None, None], (t, ci, co))
+    ci_idx = np.broadcast_to(ci_idx, (t, ci, co))
+    co_idx = np.broadcast_to(co_idx, (t, ci, co))
+
+    kb = jnp.zeros((kbh, kbw, block * block * ci, bo * bo * co), k.dtype)
+    kb = kb.at[bi_idx, bj_idx, ci_idx, co_idx].set(k[u_, v_])
+    return kb, (-lo_h, hi_h), (-lo_w, hi_w)
+
+
+class _ConvKernel(nn.Module):
+    """A bare conv kernel parameter, param-tree-compatible with
+    ``nn.Conv(use_bias=False)`` (child param named ``kernel``)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", he_normal_conv_init, self.shape)
+
+
+def _block_conv(xb, k_full, block, stride, pad, dtype):
+    kb, pad_h, pad_w = _block_kernel(k_full, block, stride, pad)
+    if dtype is not None:
+        xb, kb = xb.astype(dtype), kb.astype(dtype)
+    return lax.conv_general_dilated(
+        xb, kb, (1, 1), [pad_h, pad_w],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _block_bn(bn: nn.BatchNorm, xb: jnp.ndarray, channels: int):
+    """Apply BN in block domain with statistics per ORIGINAL channel:
+    reshape (B,Hb,Wb,P*C) -> (B,Hb,Wb,P,C) so the feature axis is the
+    original channel and the folded phases join the reduction axes."""
+    B, Hb, Wb, P = xb.shape
+    x5 = xb.reshape(B, Hb, Wb, P // channels, channels)
+    return bn(x5).reshape(B, Hb, Wb, P)
+
+
+class _S2DConvBnRelu(nn.Module):
+    """ConvBnRelu computed in space-to-depth domain. Param-tree-compatible
+    with :class:`ConvBnRelu` (children ``conv``/``bn``)."""
+
+    features: int
+    in_features: int
+    kernel_size: int = 3
+    strides: int = 1
+    block: int = 4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, xb: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        k = _ConvKernel(
+            (self.kernel_size, self.kernel_size, self.in_features,
+             self.features),
+            name="conv",
+        )()
+        xb = _block_conv(xb, k, self.block, self.strides,
+                         self.kernel_size // 2, self.dtype)
+        xb = _block_bn(_bn(train, self.dtype, "bn"), xb, self.features)
+        return nn.relu(xb)
+
+
+class _S2DStemLevel(nn.Module):
+    """MultiLevelConv(num_levels=1) computed in block domain
+    (param-tree-compatible: single child ``block0``)."""
+
+    features: int
+    in_features: int
+    strides: int = 1
+    block: int = 4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, xb: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return _S2DConvBnRelu(
+            self.features, self.in_features, kernel_size=3,
+            strides=self.strides, block=self.block, dtype=self.dtype,
+            name="block0",
+        )(xb, train=train)
 
 
 def _bn(train: bool, dtype, name: str) -> nn.BatchNorm:
@@ -31,11 +172,16 @@ def _bn(train: bool, dtype, name: str) -> nn.BatchNorm:
 
 
 class BasicBlock(nn.Module):
-    """Two 3x3 convs with residual (reference dla.py:12-50)."""
+    """Two 3x3 convs with residual (reference dla.py:12-50).
+
+    ``s2d_entry``: ``x`` arrives in space_to_depth(2) layout (``residual``
+    stays plain); conv1 is computed as the equivalent block-domain conv.
+    Requires strides == 2 and dilation == 1 (the level-2 entry)."""
 
     features: int
     strides: int = 1
     dilation: int = 1
+    s2d_entry: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -43,13 +189,19 @@ class BasicBlock(nn.Module):
         if residual is None:
             residual = x
         pad = self.dilation
-        out = nn.Conv(
-            self.features, (3, 3), strides=(self.strides, self.strides),
-            padding=[(pad, pad), (pad, pad)],
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False, kernel_init=he_normal_conv_init,
-            dtype=self.dtype, name="conv1",
-        )(x)
+        if self.s2d_entry:
+            assert self.strides == 2 and self.dilation == 1
+            k = _ConvKernel((3, 3, x.shape[-1] // 4, self.features),
+                            name="conv1")()
+            out = _block_conv(x, k, 2, 2, 1, self.dtype)
+        else:
+            out = nn.Conv(
+                self.features, (3, 3), strides=(self.strides, self.strides),
+                padding=[(pad, pad), (pad, pad)],
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False, kernel_init=he_normal_conv_init,
+                dtype=self.dtype, name="conv1",
+            )(x)
         out = _bn(train, self.dtype, "bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(
@@ -64,11 +216,15 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3 -> 1x1 bottleneck, expansion 2 (reference dla.py:53-104)."""
+    """1x1 -> 3x3 -> 1x1 bottleneck, expansion 2 (reference dla.py:53-104).
+
+    ``s2d_entry``: as in :class:`BasicBlock` — conv1 (1x1) runs in block
+    domain, conv2 (3x3 s2) folds back to plain layout."""
 
     features: int
     strides: int = 1
     dilation: int = 1
+    s2d_entry: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -77,18 +233,28 @@ class Bottleneck(nn.Module):
             residual = x
         bottle = self.features // 2
         pad = self.dilation
-        out = nn.Conv(bottle, (1, 1), use_bias=False,
-                      kernel_init=he_normal_conv_init,
-                      dtype=self.dtype, name="conv1")(x)
-        out = _bn(train, self.dtype, "bn1")(out)
-        out = nn.relu(out)
-        out = nn.Conv(
-            bottle, (3, 3), strides=(self.strides, self.strides),
-            padding=[(pad, pad), (pad, pad)],
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False, kernel_init=he_normal_conv_init,
-            dtype=self.dtype, name="conv2",
-        )(out)
+        if self.s2d_entry:
+            assert self.strides == 2 and self.dilation == 1
+            k1 = _ConvKernel((1, 1, x.shape[-1] // 4, bottle),
+                             name="conv1")()
+            out = _block_conv(x, k1, 2, 1, 0, self.dtype)  # stays s2d(2)
+            out = _block_bn(_bn(train, self.dtype, "bn1"), out, bottle)
+            out = nn.relu(out)
+            k2 = _ConvKernel((3, 3, bottle, bottle), name="conv2")()
+            out = _block_conv(out, k2, 2, 2, 1, self.dtype)  # plain
+        else:
+            out = nn.Conv(bottle, (1, 1), use_bias=False,
+                          kernel_init=he_normal_conv_init,
+                          dtype=self.dtype, name="conv1")(x)
+            out = _bn(train, self.dtype, "bn1")(out)
+            out = nn.relu(out)
+            out = nn.Conv(
+                bottle, (3, 3), strides=(self.strides, self.strides),
+                padding=[(pad, pad), (pad, pad)],
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False, kernel_init=he_normal_conv_init,
+                dtype=self.dtype, name="conv2",
+            )(out)
         out = _bn(train, self.dtype, "bn2")(out)
         out = nn.relu(out)
         out = nn.Conv(self.features, (1, 1), use_bias=False,
@@ -119,7 +285,12 @@ class Root(nn.Module):
 
 
 class Tree(nn.Module):
-    """Recursive aggregation tree (reference dla.py:135-204)."""
+    """Recursive aggregation tree (reference dla.py:135-204).
+
+    ``s2d_entry``: ``x`` arrives in space_to_depth(2) layout (half spatial,
+    4x channels); the downsample (maxpool 2x2 == phase max), projection and
+    tree1's first conv consume it directly. Only supported for the
+    single-level strided entry tree (level 2)."""
 
     levels: int
     block: str  # 'basic' | 'bottleneck'
@@ -130,6 +301,7 @@ class Tree(nn.Module):
     root_dim: int = 0
     dilation: int = 1
     root_residual: bool = False
+    s2d_entry: bool = False
     dtype: Optional[Dtype] = None
 
     def setup(self):
@@ -144,7 +316,8 @@ class Tree(nn.Module):
         if self.levels == 1:
             self.tree1 = block_cls(
                 self.features, strides=self.strides,
-                dilation=self.dilation, dtype=self.dtype,
+                dilation=self.dilation, s2d_entry=self.s2d_entry,
+                dtype=self.dtype,
             )
             self.tree2 = block_cls(
                 self.features, strides=1, dilation=self.dilation,
@@ -183,7 +356,13 @@ class Tree(nn.Module):
 
     def __call__(self, x, residual=None, children=None, train: bool = False):
         children = [] if children is None else children
-        if self.strides > 1:
+        if self.s2d_entry:
+            assert self.strides == 2 and self.levels == 1
+            # maxpool 2x2/s2 of the full-res tensor == max over the 4
+            # folded phases of its space_to_depth(2) layout.
+            b, hb, wb, p = x.shape
+            bottom = x.reshape(b, hb, wb, 4, p // 4).max(axis=3)
+        elif self.strides > 1:
             bottom = nn.max_pool(
                 x, (self.strides, self.strides),
                 strides=(self.strides, self.strides),
@@ -237,10 +416,16 @@ class MultiLevelConv(nn.Module):
 
 
 class DLA(nn.Module):
-    """Deep Layer Aggregation backbone; returns 6 feature levels."""
+    """Deep Layer Aggregation backbone; returns 6 feature levels.
+
+    ``s2d_stem`` computes the three full-resolution stem convs in block-4
+    space-to-depth domain (exact same convolution, MXU-friendly — see
+    module docstring); parameters are identical either way.
+    """
 
     num_layers: int = 34
     dtype: Optional[Dtype] = None
+    s2d_stem: bool = True
 
     @property
     def channels(self) -> Sequence[int]:
@@ -250,25 +435,47 @@ class DLA(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         block, levels, channels, residual_root = ARCH_SETTINGS[self.num_layers]
 
-        x = nn.Conv(channels[0], (7, 7), padding=[(3, 3), (3, 3)],
-                    use_bias=False, kernel_init=he_normal_conv_init,
-                    dtype=self.dtype, name="base_conv")(x)
-        x = _bn(train, self.dtype, "base_bn")(x)
-        x = nn.relu(x)
-
         outputs = []
-        x = MultiLevelConv(channels[0], levels[0], dtype=self.dtype,
-                           name="level0")(x, train=train)
-        outputs.append(x)
-        x = MultiLevelConv(channels[1], levels[1], strides=2,
-                           dtype=self.dtype, name="level1")(x, train=train)
-        outputs.append(x)
+        use_s2d = (
+            self.s2d_stem and levels[0] == 1 and levels[1] == 1
+            and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+        )
+        if use_s2d:
+            k1 = _ConvKernel((7, 7, x.shape[-1], channels[0]),
+                             name="base_conv")()
+            xb = space_to_depth(x, 4)
+            xb = _block_conv(xb, k1, 4, 1, 3, self.dtype)
+            xb = _block_bn(_bn(train, self.dtype, "base_bn"), xb,
+                           channels[0])
+            xb = nn.relu(xb)
+            xb = _S2DStemLevel(channels[0], channels[0], dtype=self.dtype,
+                               name="level0")(xb, train=train)
+            outputs.append(depth_to_space(xb, 4))       # level0, stride 1
+            xb = _S2DStemLevel(channels[1], channels[0], strides=2,
+                               dtype=self.dtype, name="level1")(
+                                   xb, train=train)
+            x = depth_to_space(xb, 2)                   # level1, stride 2
+            outputs.append(x)
+        else:
+            x = nn.Conv(channels[0], (7, 7), padding=[(3, 3), (3, 3)],
+                        use_bias=False, kernel_init=he_normal_conv_init,
+                        dtype=self.dtype, name="base_conv")(x)
+            x = _bn(train, self.dtype, "base_bn")(x)
+            x = nn.relu(x)
+
+            x = MultiLevelConv(channels[0], levels[0], dtype=self.dtype,
+                               name="level0")(x, train=train)
+            outputs.append(x)
+            x = MultiLevelConv(channels[1], levels[1], strides=2,
+                               dtype=self.dtype, name="level1")(x, train=train)
+            outputs.append(x)
         for i, (lvl, ch) in enumerate(zip(levels[2:], channels[2:]), start=2):
+            s2d_entry = i == 2 and use_s2d and lvl == 1
             x = Tree(
                 levels=lvl, block=block, in_features=outputs[-1].shape[-1],
                 features=ch, strides=2, level_root=(i != 2),
-                root_residual=residual_root, dtype=self.dtype,
-                name=f"level{i}",
-            )(x, train=train)
+                root_residual=residual_root, s2d_entry=s2d_entry,
+                dtype=self.dtype, name=f"level{i}",
+            )(xb if s2d_entry else x, train=train)
             outputs.append(x)
         return tuple(outputs)
