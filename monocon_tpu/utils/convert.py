@@ -16,7 +16,7 @@ from typing import Any, Dict, List, Sequence
 import numpy as np
 
 from ..data.calib import Calibration
-from ..data.geometry import boxes3d_to_corners, project_to_image
+from ..data.geometry import boxes3d_to_corners, expand_projection
 
 CLASSES = ("Pedestrian", "Cyclist", "Car")
 
@@ -100,15 +100,43 @@ def convert_to_kitti_3d(
     """3D detections -> KITTI annos (one dict per image).
 
     Parity: reference ``convert_to_kitti_3d`` + ``get_valid_bboxes_3d``
-    (kitti_convert_utils.py:16-171).
+    (kitti_convert_utils.py:16-171). The corner math and projection run
+    ONCE across all images of the batch (per-box gathered P2), so the
+    host cost per eval batch is one vectorized pass instead of B small
+    ones — same per-box arithmetic.
     """
     scale = _scale_vector(img_metas)
+    nb = len(per_image)
+    counts = np.array(
+        [len(d["bboxes_3d"]) for d in per_image], dtype=np.int64
+    )
+    if counts.sum() > 0:
+        boxes_all = np.concatenate(
+            [np.asarray(d["bboxes_3d"], np.float64).reshape(-1, 7)
+             for d in per_image]
+        )
+        img_idx = np.repeat(np.arange(nb), counts)
+        corners = boxes3d_to_corners(
+            boxes_all[:, :3], boxes_all[:, 3:6], boxes_all[:, 6]
+        )  # (N, 8, 3)
+        proj4 = np.stack([
+            expand_projection(np.asarray(calibs[b].P2, np.float64))
+            for b in range(nb)
+        ])  # (nb, 4, 4)
+        homo = np.concatenate(
+            [corners, np.ones_like(corners[..., :1])], axis=-1
+        )
+        projected = np.einsum("nkj,nij->nki", homo, proj4[img_idx])
+        uv = projected[..., :2] / projected[..., 2:3]
+        bbox2d_all = np.concatenate([uv.min(axis=1), uv.max(axis=1)], -1)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+
     annos = []
     for b, det in enumerate(per_image):
         sample_idx = img_metas["sample_idx"][b]
         image_shape = img_metas["ori_shape"][b]  # (H, W)
-        calib = calibs[b]
-        boxes = np.asarray(det["bboxes_3d"], dtype=np.float64)
+        sl = slice(offs[b], offs[b + 1])
+        boxes = boxes_all[sl] if counts[b] else np.zeros((0, 7))
         scores = np.asarray(det["scores"], dtype=np.float64)
         labels = np.asarray(det["labels"])
 
@@ -118,11 +146,7 @@ def convert_to_kitti_3d(
             annos.append(anno)
             continue
 
-        # Projected 2D hull of the 3D box (bottom-center origin).
-        corners = boxes3d_to_corners(boxes[:, :3], boxes[:, 3:6], boxes[:, 6])
-        uv = project_to_image(corners, calib.P2)
-        bbox2d = np.concatenate([uv.min(axis=1), uv.max(axis=1)], axis=-1)
-
+        bbox2d = bbox2d_all[sl]
         h, w = image_shape
         valid = (
             (bbox2d[:, 0] < w) & (bbox2d[:, 1] < h)
@@ -139,6 +163,7 @@ def convert_to_kitti_3d(
             annos.append(anno)
             continue
 
+        bbox2d = bbox2d.copy()
         bbox2d[:, 2:] = np.minimum(bbox2d[:, 2:], [w, h])
         bbox2d[:, :2] = np.maximum(bbox2d[:, :2], [0, 0])
 
