@@ -84,7 +84,17 @@ class DataLoader:
         seed: int = 0,
         prefetch_batches: int = 2,
         device_put_fn=None,
+        pad_to_batch: bool = False,
     ):
+        """``pad_to_batch``: pad a remainder batch to ``batch_size`` by
+        cyclically repeating its samples, with ``batch['valid']`` (B,) 0/1
+        and ``batch['num_valid']`` marking the real rows — every batch then
+        has one static shape, so jitted programs compile exactly once.
+        Losses must weight by ``valid`` (see engine.train_step); note that
+        train-mode BatchNorm statistics on a padded batch include the
+        repeated rows (a bounded divergence from the reference's smaller
+        final batch; KITTI train 3712 divides the default batch sizes, so
+        the headline config never pads)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -94,6 +104,7 @@ class DataLoader:
         self.seed = seed
         self.prefetch_batches = max(1, prefetch_batches)
         self.device_put_fn = device_put_fn
+        self.pad_to_batch = pad_to_batch
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -138,7 +149,20 @@ class DataLoader:
                             pool.map(self._load_one, idxs,
                                      range(start, start + len(idxs)))
                         )
+                        num_valid = len(samples)
+                        if (self.pad_to_batch
+                                and num_valid < self.batch_size):
+                            reps = [
+                                samples[i % num_valid]
+                                for i in range(self.batch_size - num_valid)
+                            ]
+                            samples = samples + reps
                         batch = collate(samples, self.pad_hw)
+                        if self.pad_to_batch:
+                            valid = np.zeros(len(samples), np.float32)
+                            valid[:num_valid] = 1.0
+                            batch["valid"] = valid
+                            batch["num_valid"] = num_valid
                         if self.device_put_fn is not None:
                             batch = self.device_put_fn(batch)
                         out_q.put(batch)

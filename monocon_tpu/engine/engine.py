@@ -191,6 +191,10 @@ class MonoConEngine:
             # Device placement happens on the loader's prefetch thread so
             # H2D transfers overlap the previous step's compute.
             device_put_fn=self._device_batch if is_train else None,
+            # Static batch shapes: remainder batches are padded with
+            # repeated samples (masked out of the loss / eval results), so
+            # the train and eval programs each compile exactly once.
+            pad_to_batch=True,
         )
         return dataset, loader
 
@@ -218,8 +222,9 @@ class MonoConEngine:
             "img": jnp.asarray(img),
             "label": {k: jnp.asarray(v) for k, v in batch["label"].items()},
         }
-        # Remainder batches (drop_last=False) may not divide the mesh;
-        # they run on the default device.
+        if "valid" in batch:
+            dev["valid"] = jnp.asarray(batch["valid"])
+        # pad_to_batch keeps shapes static; the guard covers ad-hoc batches.
         if img.shape[0] % self.num_devices == 0:
             dev = shard_batch(dev, self.mesh)
         # keep host-side fields for logging/debugging consumers
@@ -234,6 +239,8 @@ class MonoConEngine:
         for batch_idx, batch in enumerate(self.train_loader):
             dev = self._device_batch(batch)
             step_in = {"img": dev["img"], "label": dev["label"]}
+            if "valid" in dev:
+                step_in["valid"] = dev["valid"]
             with self.mesh:
                 self.state, losses = self._train_step(self.state, step_in)
 
@@ -360,6 +367,8 @@ class MonoConEngine:
     def _collect_eval(self, decoded, batch, container) -> None:
         decoded = {k: np.asarray(v) for k, v in decoded.items()}
         per_image = split_batch_detections(decoded, TEST_SCORE_THRESHOLD)
+        # Drop padded remainder rows (pad_to_batch).
+        per_image = per_image[:batch.get("num_valid", len(per_image))]
         container["img_bbox"].extend(
             convert_to_kitti_3d(per_image, batch["img_metas"], batch["calib"])
         )
@@ -372,6 +381,7 @@ class MonoConEngine:
         decoded = self._dispatch_eval(batch)
         decoded = {k: np.asarray(v) for k, v in decoded.items()}
         per_image = split_batch_detections(decoded, TEST_SCORE_THRESHOLD)
+        per_image = per_image[:batch.get("num_valid", len(per_image))]
         if vis_format:
             return to_vis_format(per_image)
         return {

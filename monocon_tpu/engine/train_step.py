@@ -42,11 +42,20 @@ def compute_losses(
     target: Dict[str, jnp.ndarray],
     num_kpts: int = 9,
     num_alpha_bins: int = 12,
+    sample_valid: jnp.ndarray | None = None,
 ) -> Dict[str, jnp.ndarray]:
-    """All ten criterions on fixed-shape (B, O) masked rows."""
+    """All ten criterions on fixed-shape (B, O) masked rows.
+
+    ``sample_valid`` (B,) zeroes padded batch rows out of every loss term
+    (object rows via the mask, heatmap pixels via the focal sample weight),
+    so a batch padded to a static size yields the same loss totals as the
+    unpadded batch (modulo BatchNorm batch statistics, which still see the
+    padded rows — see DataLoader.pad_to_batch)."""
     indices = target["indices"]                    # (B, O)
     indices_kpt = target["indices_kpt"]            # (B, O*K)
     mask = target["mask_target"].astype(jnp.float32)  # (B, O)
+    if sample_valid is not None:
+        mask = mask * sample_valid.astype(jnp.float32)[:, None]
     row_mask = mask[..., None]                     # (B, O, 1)
     b, o = mask.shape
 
@@ -70,10 +79,12 @@ def compute_losses(
     )
 
     loss_center_heatmap = gaussian_focal_loss(
-        pred["center_heatmap_pred"], target["center_heatmap_target"]
+        pred["center_heatmap_pred"], target["center_heatmap_target"],
+        sample_weight=sample_valid,
     )
     loss_kpt_heatmap = gaussian_focal_loss(
-        pred["kpt_heatmap_pred"], target["kpt_heatmap_target"]
+        pred["kpt_heatmap_pred"], target["kpt_heatmap_target"],
+        sample_weight=sample_valid,
     )
 
     # center->kpt offsets: pred zeroed outside the kpt mask, averaged by the
@@ -139,6 +150,7 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict[str, Any]):
         img = batch["img"]
+        valid = batch.get("valid")  # (B,) 0/1 for padded remainder batches
         pad_hw = (img.shape[1], img.shape[2])
         feat_hw = (pad_hw[0] // feat_stride, pad_hw[1] // feat_stride)
         target = generate_targets(batch["label"], feat_hw, pad_hw)
@@ -150,7 +162,7 @@ def make_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
-            losses = compute_losses(pred, target)
+            losses = compute_losses(pred, target, sample_valid=valid)
             total = sum(losses.values())
             return total, (losses, new_model_state["batch_stats"])
 

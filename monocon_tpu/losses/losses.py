@@ -30,21 +30,31 @@ def gaussian_focal_loss(
     target: jnp.ndarray,
     gamma: float = 2.0,
     beta: float = 4.0,
+    sample_weight: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """CenterNet penalty-reduced focal loss on sigmoid heatmaps.
 
     Parity: reference ``GaussianFocalLoss`` (losses/focal_loss.py:22-44).
     ``pred`` must already be sigmoid-clamped to (0, 1).
+
+    ``sample_weight`` (B,) zeroes whole samples (padded batch rows) out of
+    both loss terms and the positive count.
     """
     eps = 1e-12
     pos = (target == 1.0).astype(pred.dtype)
     neg = (target < 1.0).astype(pred.dtype)
-    num_pos = jnp.sum(pos)
 
     neg_weights = jnp.power(1.0 - target, beta)
     pos_loss = jnp.log(pred + eps) * jnp.power(1.0 - pred, gamma) * pos
     neg_loss = jnp.log(1.0 - pred + eps) * jnp.power(pred, gamma) * neg_weights * neg
 
+    if sample_weight is not None:
+        w = sample_weight.reshape(
+            (-1,) + (1,) * (pred.ndim - 1)
+        ).astype(pred.dtype)
+        pos, pos_loss, neg_loss = pos * w, pos_loss * w, neg_loss * w
+
+    num_pos = jnp.sum(pos)
     pos_sum = jnp.sum(pos_loss)
     neg_sum = jnp.sum(neg_loss)
     return jnp.where(

@@ -1,0 +1,187 @@
+"""Remainder-batch padding: static shapes (exactly one compile per jitted
+program), loss equivalence under the sample-valid mask, and eval-row
+exactness. Addresses the recompile-per-remainder-shape defect of naive
+drop_last=False loading (reference engine/monocon_engine.py:65-71 simply
+runs the smaller final batch)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monocon_tpu.data.loader import DataLoader, collate
+from monocon_tpu.engine.train_step import (
+    compute_losses,
+    create_train_state,
+    make_train_step,
+)
+from monocon_tpu.models import create_detector_state
+from monocon_tpu.ops.targets import generate_targets
+from monocon_tpu.solver import build_optimizer
+
+
+class _TinyDataset:
+    """10 samples of fixed-shape synthetic images + labels."""
+
+    def __init__(self, n=10, hw=(64, 96), max_objs=30):
+        self.n, self.hw, self.max_objs = n, hw, max_objs
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(idx)
+        o = self.max_objs
+        label = {
+            "gt_bboxes": np.zeros((o, 4), np.float32),
+            "gt_labels": np.zeros(o, np.float32),
+            "gt_bboxes_3d": np.zeros((o, 7), np.float32),
+            "depths": np.zeros(o, np.float32),
+            "gt_kpts_2d": np.zeros((o, 18), np.float32),
+            "gt_kpts_valid_mask": np.zeros((o, 9), np.float32),
+            "mask": np.zeros(o, np.float32),
+        }
+        for i in range(2):
+            x1, y1 = rng.uniform(0, 40), rng.uniform(0, 30)
+            label["gt_bboxes"][i] = [x1, y1, x1 + 30, y1 + 20]
+            label["gt_labels"][i] = rng.integers(0, 3)
+            label["gt_bboxes_3d"][i] = [0, 1.5, 20, 1.6, 1.5, 3.9, 0.3]
+            label["depths"][i] = 20.0
+            label["gt_kpts_2d"][i] = rng.uniform(0, 60, 18)
+            label["gt_kpts_valid_mask"][i] = 2
+            label["mask"][i] = 1
+
+        class _Calib:
+            P2 = np.array(
+                [[720.0, 0, 48, 44], [0, 720, 32, 0.2], [0, 0, 1, 0.003]],
+                np.float32,
+            )
+
+        return {
+            "img": rng.normal(size=(*self.hw, 3)).astype(np.float32),
+            "img_metas": {"sample_idx": idx, "ori_shape": self.hw},
+            "calib": _Calib(),
+            "label": label,
+        }
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    return _TinyDataset()
+
+
+def test_loader_pads_remainder_to_static_shape(tiny):
+    loader = DataLoader(tiny, batch_size=4, shuffle=False, num_workers=2,
+                        pad_hw=tiny.hw, pad_to_batch=True)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["img"].shape == (4, *tiny.hw, 3)
+    assert batches[-1]["num_valid"] == 2
+    np.testing.assert_array_equal(batches[-1]["valid"], [1, 1, 0, 0])
+    np.testing.assert_array_equal(batches[0]["valid"], [1, 1, 1, 1])
+    # padded rows repeat the real ones cyclically
+    np.testing.assert_array_equal(
+        batches[-1]["img"][2], batches[-1]["img"][0]
+    )
+
+
+def test_losses_ignore_padded_rows(tiny):
+    """compute_losses with sample_valid == losses of the unpadded batch."""
+    hw = tiny.hw
+    feat_hw = (hw[0] // 4, hw[1] // 4)
+    small = collate([tiny[i] for i in range(3)], hw)
+    padded = collate([tiny[i] for i in [0, 1, 2, 0, 1]], hw)
+    valid = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0])
+
+    t_small = generate_targets(
+        {k: jnp.asarray(v) for k, v in small["label"].items()}, feat_hw, hw
+    )
+    t_pad = generate_targets(
+        {k: jnp.asarray(v) for k, v in padded["label"].items()}, feat_hw, hw
+    )
+
+    rng = np.random.default_rng(0)
+    o = tiny.max_objs
+
+    def fake_pred(b):
+        return {
+            "center_heatmap_pred": jnp.asarray(
+                rng.uniform(0.01, 0.99, (b, *feat_hw, 3))),
+            "kpt_heatmap_pred": jnp.asarray(
+                rng.uniform(0.01, 0.99, (b, *feat_hw, 1))),
+            "offset_pred": jnp.asarray(rng.normal(size=(b, *feat_hw, 2))),
+            "wh_pred": jnp.asarray(rng.normal(size=(b, *feat_hw, 2))),
+            "dim_pred": jnp.asarray(rng.uniform(1, 4, (b, *feat_hw, 3))),
+            "depth_pred": jnp.asarray(rng.normal(size=(b, *feat_hw, 2))),
+            "center2kpt_offset_pred": jnp.asarray(
+                rng.normal(size=(b, *feat_hw, 18))),
+            "kpt_heatmap_offset_pred": jnp.asarray(
+                rng.normal(size=(b, *feat_hw, 2))),
+            "alpha_cls_pred": jnp.asarray(rng.normal(size=(b, *feat_hw, 12))),
+            "alpha_offset_pred": jnp.asarray(
+                rng.normal(size=(b, *feat_hw, 12))),
+        }
+
+    pred3 = fake_pred(3)
+    pred5 = {k: jnp.concatenate([v, v[:2]]) for k, v in pred3.items()}
+
+    l_small = compute_losses(pred3, t_small)
+    l_pad = compute_losses(pred5, t_pad, sample_valid=valid)
+    for k in l_small:
+        np.testing.assert_allclose(
+            np.asarray(l_pad[k]), np.asarray(l_small[k]), rtol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_single_compile_across_remainder_batches(tiny):
+    """A full epoch with a remainder batch compiles the train step once."""
+    hw = tiny.hw
+    model, variables = create_detector_state(
+        jax.random.PRNGKey(0), image_hw=hw
+    )
+    optimizer = build_optimizer(total_steps=10)
+    state = create_train_state(variables, optimizer)
+    step = jax.jit(make_train_step(model, optimizer))
+
+    loader = DataLoader(tiny, batch_size=4, shuffle=False, num_workers=2,
+                        pad_hw=hw, pad_to_batch=True)
+    for batch in loader:
+        step_in = {
+            "img": jnp.asarray(batch["img"]),
+            "label": {k: jnp.asarray(v) for k, v in batch["label"].items()},
+            "valid": jnp.asarray(batch["valid"]),
+        }
+        state, losses = step(state, step_in)
+    assert np.isfinite(float(losses["total_loss"]))
+    assert step._cache_size() == 1, "train step recompiled"
+
+
+def test_eval_rows_exact_under_padding(tiny):
+    """Eval forward on a padded batch returns identical real-row decodes."""
+    from monocon_tpu.ops.decode import decode_predictions
+
+    hw = tiny.hw
+    model, variables = create_detector_state(
+        jax.random.PRNGKey(0), image_hw=hw
+    )
+
+    @jax.jit
+    def eval_fn(img, p2):
+        pred = model.apply(variables, img, train=False)
+        return decode_predictions(pred, p2, hw)
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.normal(size=(2, *hw, 3)).astype(np.float32))
+    p2 = jnp.asarray(np.tile(tiny[0]["calib"].P2[None], (2, 1, 1)))
+    img_pad = jnp.concatenate([img, img[:1], img[:1]])
+    p2_pad = jnp.concatenate([p2, p2[:1], p2[:1]])
+
+    out_small = eval_fn(img, p2)      # note: different batch -> 2 compiles
+    out_pad = eval_fn(img_pad, p2_pad)
+    for k in out_small:
+        np.testing.assert_allclose(
+            np.asarray(out_pad[k])[:2], np.asarray(out_small[k]),
+            rtol=1e-5, atol=1e-5, err_msg=k,
+        )
