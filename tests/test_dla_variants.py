@@ -9,8 +9,10 @@ import pytest
 REFERENCE = "/root/reference"
 
 
-@pytest.mark.parametrize("num_layers", [46, 60])
+@pytest.mark.parametrize("num_layers", [46, 60, 102])
 def test_dla_variant_parity(num_layers):
+    """102 exercises residual_root=True (reference dla.py:210-214), the
+    one Root code path 34/46/60 never hit."""
     import torch
 
     sys.path.insert(0, REFERENCE)
@@ -41,14 +43,25 @@ def test_dla_variant_parity(num_layers):
         jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False,
     )
     for i, (a, b) in enumerate(zip(ours, ref)):
-        # fp32 accumulation noise grows through the deeper bottleneck trees
-        np.testing.assert_allclose(
-            np.transpose(np.asarray(a), (0, 3, 1, 2)), b.numpy(),
-            rtol=1e-3, atol=2e-3, err_msg=f"dla{num_layers} level{i}",
-        )
+        a = np.transpose(np.asarray(a), (0, 3, 1, 2))
+        b = b.numpy()
+        if num_layers == 102:
+            # Random-init DLA-102 explodes to ~1e6 activations through its
+            # residual roots (residual_root=True, reference dla.py:210-214),
+            # so single elements suffer catastrophic cancellation under
+            # elementwise rtol. Compare relative to the level's scale.
+            scale_err = np.max(np.abs(a - b)) / np.max(np.abs(b))
+            assert scale_err < 1e-4, (f"dla102 level{i}: {scale_err:.2e}")
+        else:
+            # fp32 accumulation noise grows through deeper bottleneck trees
+            np.testing.assert_allclose(
+                a, b, rtol=1e-3, atol=2e-3,
+                err_msg=f"dla{num_layers} level{i}",
+            )
 
 
-def test_dla60_detector_shapes():
+@pytest.mark.parametrize("num_layers", [60, 102])
+def test_dla_detector_shapes(num_layers):
     """Full detector with 128-ch heads builds and produces stride-4 maps."""
     import jax
     import jax.numpy as jnp
@@ -56,7 +69,7 @@ def test_dla60_detector_shapes():
     from monocon_tpu.models import create_detector_state
 
     model, variables = create_detector_state(
-        jax.random.PRNGKey(0), num_layers=60, image_hw=(64, 96)
+        jax.random.PRNGKey(0), num_layers=num_layers, image_hw=(64, 96)
     )
     out = model.apply(variables, jnp.zeros((1, 64, 96, 3)), train=False)
     assert out["center_heatmap_pred"].shape == (1, 16, 24, 3)
