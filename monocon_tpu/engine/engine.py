@@ -206,11 +206,17 @@ class MonoConEngine:
     # ------------------------------------------------------------------
     @property
     def current_lr(self) -> float:
-        try:
-            hp = self.state.opt_state[-1].hyperparams
-            return float(hp["learning_rate"])
-        except Exception:
+        """LR of the upcoming step (reference base_engine.py lr property).
+
+        The optimizer chain ends in inject_hyperparams(adamw) (see
+        solver/schedule.py:89-99), whose state carries the materialized
+        schedule values."""
+        if self.optimizer is None or self.state.opt_state is None:
             return float(self.cfg.SOLVER.OPTIM.LR)
+        hp = getattr(self.state.opt_state[-1], "hyperparams", None)
+        if hp is None or "learning_rate" not in hp:
+            return float(self.cfg.SOLVER.OPTIM.LR)
+        return float(hp["learning_rate"])
 
     def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         """Place the train tensors of a host batch on device (idempotent:
@@ -233,7 +239,7 @@ class MonoConEngine:
         return out
 
     def train_one_epoch(self) -> float:
-        epoch_losses = []
+        epoch_start = len(self.entire_losses)
         self.train_loader.set_epoch(self.epochs)
         steps = len(self.train_loader)
         for batch_idx, batch in enumerate(self.train_loader):
@@ -244,12 +250,18 @@ class MonoConEngine:
             with self.mesh:
                 self.state, losses = self._train_step(self.state, step_in)
 
+            # Per-step history, as the reference keeps
+            # (monocon_engine.py:84-90) — appended as the *device* scalar
+            # (an async future), so the dispatch queue never stalls; it is
+            # materialized lazily on log steps / at epoch end.
+            self.entire_losses.append(losses["total_loss"])
+
             if self.global_iters % self.log_period == 0:
                 loss_host = {k: float(v) for k, v in losses.items()}
                 total = loss_host.pop("total_loss")
-                self.entire_losses.append(total)
-                epoch_losses.append(total)
-                recent = self.entire_losses[-100:]
+                recent = [
+                    float(v) for v in self.entire_losses[-100:]
+                ]
                 bar = progress_bar(batch_idx + 1, steps)
                 print(
                     f"| Progress {bar} | LR {self.current_lr:.6f} "
@@ -266,9 +278,9 @@ class MonoConEngine:
                 self.save_checkpoint()
             self.global_iters += 1
 
-        # Losses are only materialized on log steps (keeping the device
-        # queue async between logs); epochs shorter than LOG_PERIOD report
-        # no average.
+        epoch_losses = [float(v) for v in self.entire_losses[epoch_start:]]
+        # keep history as host floats once the epoch is done
+        self.entire_losses[epoch_start:] = epoch_losses
         return float(np.mean(epoch_losses)) if epoch_losses else float("nan")
 
     def _print_engine_info(self) -> None:

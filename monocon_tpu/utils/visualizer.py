@@ -42,6 +42,18 @@ class Visualizer:
                      else "normal")
 
     # ------------------------------------------------------------------
+    def get_labels(self, idx: int, search_key) -> List[np.ndarray]:
+        """GT label arrays for image ``idx``, mask-filtered to valid rows.
+
+        Parity: reference ``Visualizer.get_labels``
+        (utils/visualizer.py:49-64)."""
+        assert self.mode == "normal", (
+            "This method is only available in 'normal' mode.")
+        label = self.dataset[int(idx)]["label"]
+        mask = np.asarray(label["mask"]).astype(bool)
+        keys = [search_key] if isinstance(search_key, str) else search_key
+        return [np.asarray(label[k])[mask] for k in keys]
+
     def _load_image(self, idx: int) -> np.ndarray:
         if self.mode == "normal":
             return self.dataset.load_image(idx)[0].copy()

@@ -40,6 +40,12 @@ def test_train_eval_resume_cycle(env, capsys):
     engine.train()
     out = capsys.readouterr().out
     assert "Progress" in out and "LR" in out
+    # Loss history is per-STEP (reference monocon_engine.py:84-90), kept
+    # as host floats once each epoch closes.
+    assert len(engine.entire_losses) == engine.global_iters - 1
+    assert all(isinstance(v, float) for v in engine.entire_losses)
+    # current_lr reads the injected hyperparams, not the config fallback.
+    assert engine.current_lr > 0
 
     # final checkpoint exists
     ckpts = sorted(glob.glob(os.path.join(env.OUTPUT_DIR, "checkpoints", "epoch_*")))

@@ -125,3 +125,109 @@ def test_config_roundtrip(tmp_path):
     assert cfg2.DATA.BATCH_SIZE == 12
     assert cfg2.MODEL.BACKBONE.NUM_LAYERS == 34
     assert cfg2.to_plain_dict() == cfg.to_plain_dict()
+
+
+def test_fetch_dla_weights_tool(tmp_path, monkeypatch):
+    """scripts/fetch_dla_weights: hash verification, cache skip, and the
+    .pth -> Flax .npz convert path on a synthetic state dict (the download
+    itself is stubbed — no network here)."""
+    import hashlib
+    import importlib.util
+
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "fetch_dla_weights",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "fetch_dla_weights.py"),
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        torch.manual_seed(0)
+        from model.backbone.dla import DLA as TorchDLA
+    finally:
+        sys.path.pop(0)
+    state = TorchDLA(34, pretrained=False).state_dict()
+    state["fc.weight"] = torch.zeros(1000, 512)
+    state["fc.bias"] = torch.zeros(1000)
+
+    served = str(tmp_path / "served.pth")
+    torch.save(state, served)
+    digest = hashlib.sha256(open(served, "rb").read()).hexdigest()
+    monkeypatch.setitem(tool.NUM_LAYERS_TO_HASH, 34, ("dla34", digest[:8]))
+
+    def fake_urlretrieve(url, dst):
+        assert url.startswith(tool.BASE_URL)
+        import shutil
+
+        shutil.copy(served, dst)
+
+    monkeypatch.setattr(tool.urllib.request, "urlretrieve", fake_urlretrieve)
+
+    out_dir = str(tmp_path / "weights")
+    path = tool.fetch(34, out_dir)
+    assert os.path.isfile(path) and digest[:8] in path
+    # cached second call: downloading again would fail the assert on a
+    # poisoned urlretrieve
+    monkeypatch.setattr(
+        tool.urllib.request, "urlretrieve",
+        lambda *a: (_ for _ in ()).throw(AssertionError("re-downloaded")),
+    )
+    assert tool.fetch(34, out_dir) == path
+
+    # hash mismatch is rejected
+    bad = str(tmp_path / "weights2")
+    monkeypatch.setitem(tool.NUM_LAYERS_TO_HASH, 34, ("dla34", "00000000"))
+    monkeypatch.setattr(
+        tool.urllib.request, "urlretrieve",
+        lambda url, dst: __import__("shutil").copy(served, dst),
+    )
+    with pytest.raises(RuntimeError, match="SHA256"):
+        tool.fetch(34, bad)
+
+    # convert: npz round-trips the Flax variable tree
+    npz_path = tool.convert(path)
+    import numpy as np_
+    from flax.traverse_util import flatten_dict
+
+    from monocon_tpu.utils.torch_convert import load_imagenet_backbone
+
+    variables = load_imagenet_backbone(path)
+    loaded = np_.load(npz_path)
+    flat = flatten_dict(variables["params"])
+    some = [("backbone", "base_conv", "kernel"),
+            ("backbone", "level0", "block0", "conv", "kernel")]
+    for key in some:
+        np_.testing.assert_array_equal(
+            loaded["/".join(("params",) + key)], np_.asarray(flat[key])
+        )
+
+
+def test_visualizer_get_labels(tmp_path):
+    """Visualizer.get_labels == mask-filtered GT (reference
+    utils/visualizer.py:49-64)."""
+    from monocon_tpu.data import MonoConDataset
+    from monocon_tpu.data.synthetic import generate_kitti_dataset
+    from monocon_tpu.utils.visualizer import Visualizer
+
+    root = str(tmp_path / "kitti")
+    generate_kitti_dataset(root, num_train=2, num_val=2,
+                           image_hw=(160, 512), seed=7)
+    ds = MonoConDataset(root, "val")
+    vis_format = [
+        {"img_bbox": {"boxes_3d": np.zeros((0, 7)),
+                      "scores_3d": np.zeros(0), "labels_3d": np.zeros(0)},
+         "img_bbox2d": [np.zeros((0, 5))] * 3}
+        for _ in range(len(ds))
+    ]
+    vis = Visualizer(ds, vis_format)
+    (bboxes, labels) = vis.get_labels(0, ["gt_bboxes", "gt_labels"])
+    mask = ds[0]["label"]["mask"].astype(bool)
+    n = int(mask.sum())
+    assert bboxes.shape == (n, 4) and labels.shape == (n,)
+    np.testing.assert_array_equal(bboxes, ds[0]["label"]["gt_bboxes"][mask])
+    (only,) = vis.get_labels(0, "gt_labels")
+    np.testing.assert_array_equal(only, labels)
