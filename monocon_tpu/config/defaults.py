@@ -76,6 +76,7 @@ _DEFAULTS: Dict[str, Any] = {
         "TRAIN_SPLIT": "train",
         "TEST_SPLIT": "val",
         "CROP_HW": [320, 960],  # train-time RandomCrop3D size
+        "AUGMENT": True,  # additive: disable train-time augmentation
         "FILTER": {
             "MIN_HEIGHT": 25,
             "MIN_DEPTH": 2,

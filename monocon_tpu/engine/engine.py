@@ -160,14 +160,22 @@ class MonoConEngine:
 
     # ------------------------------------------------------------------
     def _build_loader(self, is_train: bool):
-        from ..data.transforms import default_train_transforms
+        from ..data.transforms import (
+            default_test_transforms,
+            default_train_transforms,
+        )
 
         cfg = self.cfg
         split = cfg.DATA.TRAIN_SPLIT if is_train else cfg.DATA.TEST_SPLIT
-        transforms = None
+        transforms = None  # None -> the dataset's split defaults
         if is_train and split == "train":
-            transforms = default_train_transforms(
-                tuple(cfg.DATA.get("CROP_HW", (320, 960)))
+            transforms = (
+                default_train_transforms(
+                    tuple(cfg.DATA.get("CROP_HW", (320, 960)))
+                )
+                if cfg.DATA.get("AUGMENT", True)
+                # DATA.AUGMENT False: normalize/pad only
+                else default_test_transforms()
             )
         dataset = MonoConDataset(
             base_root=cfg.DATA.ROOT,
