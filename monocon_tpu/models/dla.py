@@ -7,14 +7,19 @@ aggregation, 7x7 stride-1 stem, six output levels at strides
 ImageNet weights are imported from a local torch checkpoint via
 ``monocon_tpu.utils.torch_convert`` (no network download).
 
-TPU note — space-to-depth stem. The reference stem (7x7 s1 3->16 at full
+TPU note — width-blocked stem. The reference stem (7x7 s1 3->16 at full
 resolution, then 3x3 s1 16->16, then 3x3 s2 16->32) maps terribly onto
 the MXU: <=16 of 128 lanes used, and XLA pads/transposes full-resolution
 activations between the convs (measured ~56% of the whole forward). We
-compute the same three convs in block-4 space-to-depth domain instead —
-a pure reindexing of the kernels (``_block_kernel``), numerically the
-same convolution (measured 2.9x on a v5e: 21.0 -> 7.2 ms for the chain
-at batch 16 bf16, scripts/stem_experiments.py). Parameters stay in the
+compute the same three convs (and level2's maxpool + entry conv) in
+W-only space-to-depth domain instead: the width axis is blocked by 4 into
+channels, which in NHWC is a PURE RESHAPE (W and C are memory-adjacent),
+so no layout-transpose copies exist anywhere in the stem. Each kernel is
+re-expressed by an exact reindexing (``_wblock_kernel``) — numerically
+the same convolution — and W-only blocking also wastes 4x fewer padded
+block-kernel FLOPs than the earlier (4,4) blocking (scripts/
+stem_experiments.py: direct 21.1 ms, (4,4)-block 7.1 ms, W-block 6.2 ms
+for the chain at batch 16 bf16 on a v5e). Parameters stay in the
 reference's full-resolution layout, so init, checkpoints, and torch
 weight import are unchanged; BatchNorm statistics are reduced per
 ORIGINAL channel (across the folded phases), identical to full-res BN.
@@ -35,57 +40,46 @@ from .layers import BN_EPS, BN_MOMENTUM, ConvBnRelu, he_normal_conv_init
 Dtype = Any
 
 
-def space_to_depth(x: jnp.ndarray, b: int) -> jnp.ndarray:
-    """(B,H,W,C) -> (B,H/b,W/b,b*b*C), channel layout (pi, pj, c)."""
+def w_space_to_depth(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H,W/b,b*C), channel layout (pj, c) — a pure
+    reshape (W and C are adjacent in NHWC memory order)."""
     B, H, W, C = x.shape
-    x = x.reshape(B, H // b, b, W // b, b, C)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // b, W // b, b * b * C)
+    return x.reshape(B, H, W // b, b * C)
 
 
-def depth_to_space(x: jnp.ndarray, b: int) -> jnp.ndarray:
-    """Inverse of :func:`space_to_depth`."""
-    B, Hb, Wb, P = x.shape
-    c = P // (b * b)
-    x = x.reshape(B, Hb, Wb, b, b, c).transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(B, Hb * b, Wb * b, c)
+def w_depth_to_space(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """Inverse of :func:`w_space_to_depth` (also a pure reshape)."""
+    B, H, Wb, P = x.shape
+    return x.reshape(B, H, Wb * b, P // b)
 
 
-def _block_kernel(k: jnp.ndarray, block: int, stride: int, pad: int):
-    """Re-express a full-resolution conv kernel (kh,kw,ci,co) as a
-    block-domain kernel with block-domain stride 1: input in
-    space_to_depth(block) layout, output in space_to_depth(block//stride)
-    layout. Exact reindexing — every original tap lands once, the rest of
-    the block kernel is zero. Returns (kernel, pad_h, pad_w)."""
+def _wblock_kernel(k: jnp.ndarray, block: int, stride: int, pad: int):
+    """Re-express a full-resolution conv kernel (kh,kw,ci,co) as a W-only
+    block-domain kernel: H stays plain (apply the original stride/pad on
+    H via the conv itself), W is blocked with block-domain stride 1 and
+    output block ``block // stride``. Exact reindexing — every original
+    tap lands once, the rest of the block kernel is zero. Returns
+    (kernel (kh, kbw, block*ci, bo*co), (pad_w_lo, pad_w_hi))."""
     kh, kw, ci, co = k.shape
     bo = block // stride
-    qs = range(bo)
-    lo_h = min((stride * q + u - pad) // block for q in qs for u in (0,))
-    hi_h = max((stride * q + kh - 1 - pad) // block for q in qs)
-    lo_w = min((stride * q + v - pad) // block for q in qs for v in (0,))
-    hi_w = max((stride * q + kw - 1 - pad) // block for q in qs)
-    kbh, kbw = hi_h - lo_h + 1, hi_w - lo_w + 1
+    lo = (0 - pad) // block
+    hi = max((stride * q + kw - 1 - pad) // block for q in range(bo))
+    kbw = hi - lo + 1
 
     # Static index maps for one gather + one scatter over the tap table.
-    u_, v_, qi_, qj_ = np.meshgrid(
-        np.arange(kh), np.arange(kw), np.arange(bo), np.arange(bo),
-        indexing="ij",
-    )
-    u_, v_, qi_, qj_ = (a.ravel() for a in (u_, v_, qi_, qj_))
-    bi, pi = np.divmod(stride * qi_ + u_ - pad, block)
+    v_, qj_ = np.meshgrid(np.arange(kw), np.arange(bo), indexing="ij")
+    v_, qj_ = v_.ravel(), qj_.ravel()
     bj, pj = np.divmod(stride * qj_ + v_ - pad, block)
-    t = len(u_)
-    ci_idx = ((pi * block + pj)[:, None, None] * ci
-              + np.arange(ci)[None, :, None])
-    co_idx = ((qi_ * bo + qj_)[:, None, None] * co
-              + np.arange(co)[None, None, :])
-    bi_idx = np.broadcast_to((bi - lo_h)[:, None, None], (t, ci, co))
-    bj_idx = np.broadcast_to((bj - lo_w)[:, None, None], (t, ci, co))
-    ci_idx = np.broadcast_to(ci_idx, (t, ci, co))
-    co_idx = np.broadcast_to(co_idx, (t, ci, co))
+    t = len(v_)
+    bj_idx = np.broadcast_to((bj - lo)[:, None, None], (t, ci, co))
+    ci_idx = np.broadcast_to(
+        pj[:, None, None] * ci + np.arange(ci)[None, :, None], (t, ci, co))
+    co_idx = np.broadcast_to(
+        qj_[:, None, None] * co + np.arange(co)[None, None, :], (t, ci, co))
 
-    kb = jnp.zeros((kbh, kbw, block * block * ci, bo * bo * co), k.dtype)
-    kb = kb.at[bi_idx, bj_idx, ci_idx, co_idx].set(k[u_, v_])
-    return kb, (-lo_h, hi_h), (-lo_w, hi_w)
+    kb = jnp.zeros((kh, kbw, block * ci, bo * co), k.dtype)
+    kb = kb.at[:, bj_idx, ci_idx, co_idx].set(k[:, v_])
+    return kb, (-lo, hi)
 
 
 class _ConvKernel(nn.Module):
@@ -99,12 +93,14 @@ class _ConvKernel(nn.Module):
         return self.param("kernel", he_normal_conv_init, self.shape)
 
 
-def _block_conv(xb, k_full, block, stride, pad, dtype):
-    kb, pad_h, pad_w = _block_kernel(k_full, block, stride, pad)
+def _wblock_conv(xb, k_full, block, stride, pad, dtype):
+    """Convolution in W-block domain: the W stride folds into the block
+    kernel; the H stride/padding apply plainly."""
+    kb, pad_w = _wblock_kernel(k_full, block, stride, pad)
     if dtype is not None:
         xb, kb = xb.astype(dtype), kb.astype(dtype)
     return lax.conv_general_dilated(
-        xb, kb, (1, 1), [pad_h, pad_w],
+        xb, kb, (stride, 1), [(pad, pad), pad_w],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 
@@ -119,8 +115,9 @@ def _block_bn(bn: nn.BatchNorm, xb: jnp.ndarray, channels: int):
 
 
 class _S2DConvBnRelu(nn.Module):
-    """ConvBnRelu computed in space-to-depth domain. Param-tree-compatible
-    with :class:`ConvBnRelu` (children ``conv``/``bn``)."""
+    """ConvBnRelu computed in W-block space-to-depth domain.
+    Param-tree-compatible with :class:`ConvBnRelu` (children
+    ``conv``/``bn``)."""
 
     features: int
     in_features: int
@@ -136,8 +133,8 @@ class _S2DConvBnRelu(nn.Module):
              self.features),
             name="conv",
         )()
-        xb = _block_conv(xb, k, self.block, self.strides,
-                         self.kernel_size // 2, self.dtype)
+        xb = _wblock_conv(xb, k, self.block, self.strides,
+                          self.kernel_size // 2, self.dtype)
         xb = _block_bn(_bn(train, self.dtype, "bn"), xb, self.features)
         return nn.relu(xb)
 
@@ -174,9 +171,10 @@ def _bn(train: bool, dtype, name: str) -> nn.BatchNorm:
 class BasicBlock(nn.Module):
     """Two 3x3 convs with residual (reference dla.py:12-50).
 
-    ``s2d_entry``: ``x`` arrives in space_to_depth(2) layout (``residual``
-    stays plain); conv1 is computed as the equivalent block-domain conv.
-    Requires strides == 2 and dilation == 1 (the level-2 entry)."""
+    ``s2d_entry``: ``x`` arrives in W-block(2) space-to-depth layout
+    (``residual`` stays plain); conv1 is computed as the equivalent
+    block-domain conv. Requires strides == 2 and dilation == 1 (the
+    level-2 entry)."""
 
     features: int
     strides: int = 1
@@ -191,9 +189,9 @@ class BasicBlock(nn.Module):
         pad = self.dilation
         if self.s2d_entry:
             assert self.strides == 2 and self.dilation == 1
-            k = _ConvKernel((3, 3, x.shape[-1] // 4, self.features),
+            k = _ConvKernel((3, 3, x.shape[-1] // 2, self.features),
                             name="conv1")()
-            out = _block_conv(x, k, 2, 2, 1, self.dtype)
+            out = _wblock_conv(x, k, 2, 2, 1, self.dtype)
         else:
             out = nn.Conv(
                 self.features, (3, 3), strides=(self.strides, self.strides),
@@ -235,13 +233,13 @@ class Bottleneck(nn.Module):
         pad = self.dilation
         if self.s2d_entry:
             assert self.strides == 2 and self.dilation == 1
-            k1 = _ConvKernel((1, 1, x.shape[-1] // 4, bottle),
+            k1 = _ConvKernel((1, 1, x.shape[-1] // 2, bottle),
                              name="conv1")()
-            out = _block_conv(x, k1, 2, 1, 0, self.dtype)  # stays s2d(2)
+            out = _wblock_conv(x, k1, 2, 1, 0, self.dtype)  # stays W-b2
             out = _block_bn(_bn(train, self.dtype, "bn1"), out, bottle)
             out = nn.relu(out)
             k2 = _ConvKernel((3, 3, bottle, bottle), name="conv2")()
-            out = _block_conv(out, k2, 2, 2, 1, self.dtype)  # plain
+            out = _wblock_conv(out, k2, 2, 2, 1, self.dtype)  # plain
         else:
             out = nn.Conv(bottle, (1, 1), use_bias=False,
                           kernel_init=he_normal_conv_init,
@@ -287,10 +285,10 @@ class Root(nn.Module):
 class Tree(nn.Module):
     """Recursive aggregation tree (reference dla.py:135-204).
 
-    ``s2d_entry``: ``x`` arrives in space_to_depth(2) layout (half spatial,
-    4x channels); the downsample (maxpool 2x2 == phase max), projection and
-    tree1's first conv consume it directly. Only supported for the
-    single-level strided entry tree (level 2)."""
+    ``s2d_entry``: ``x`` arrives in W-block(2) space-to-depth layout (half
+    width, 2x channels); the downsample (maxpool 2x2 == H-pair max + W
+    phase max), projection and tree1's first conv consume it directly.
+    Only supported for the single-level strided entry tree (level 2)."""
 
     levels: int
     block: str  # 'basic' | 'bottleneck'
@@ -358,10 +356,11 @@ class Tree(nn.Module):
         children = [] if children is None else children
         if self.s2d_entry:
             assert self.strides == 2 and self.levels == 1
-            # maxpool 2x2/s2 of the full-res tensor == max over the 4
-            # folded phases of its space_to_depth(2) layout.
-            b, hb, wb, p = x.shape
-            bottom = x.reshape(b, hb, wb, 4, p // 4).max(axis=3)
+            # maxpool 2x2/s2 of the full-res tensor == max over H pairs
+            # plus max over the 2 folded W-phases of its W-block(2) layout.
+            b, h, wb, p = x.shape
+            bottom = nn.max_pool(x, (2, 1), strides=(2, 1))
+            bottom = bottom.reshape(b, h // 2, wb, 2, p // 2).max(axis=3)
         elif self.strides > 1:
             bottom = nn.max_pool(
                 x, (self.strides, self.strides),
@@ -418,9 +417,10 @@ class MultiLevelConv(nn.Module):
 class DLA(nn.Module):
     """Deep Layer Aggregation backbone; returns 6 feature levels.
 
-    ``s2d_stem`` computes the three full-resolution stem convs in block-4
-    space-to-depth domain (exact same convolution, MXU-friendly — see
-    module docstring); parameters are identical either way.
+    ``s2d_stem`` computes the three full-resolution stem convs in W-only
+    block-4 space-to-depth domain (exact same convolution, MXU-friendly,
+    zero layout copies — see module docstring); parameters are identical
+    either way.
     """
 
     num_layers: int = 34
@@ -443,18 +443,18 @@ class DLA(nn.Module):
         if use_s2d:
             k1 = _ConvKernel((7, 7, x.shape[-1], channels[0]),
                              name="base_conv")()
-            xb = space_to_depth(x, 4)
-            xb = _block_conv(xb, k1, 4, 1, 3, self.dtype)
+            xb = w_space_to_depth(x, 4)                 # pure reshape
+            xb = _wblock_conv(xb, k1, 4, 1, 3, self.dtype)
             xb = _block_bn(_bn(train, self.dtype, "base_bn"), xb,
                            channels[0])
             xb = nn.relu(xb)
             xb = _S2DStemLevel(channels[0], channels[0], dtype=self.dtype,
                                name="level0")(xb, train=train)
-            outputs.append(depth_to_space(xb, 4))       # level0, stride 1
+            outputs.append(w_depth_to_space(xb, 4))     # level0, stride 1
             xb = _S2DStemLevel(channels[1], channels[0], strides=2,
                                dtype=self.dtype, name="level1")(
-                                   xb, train=train)
-            x = depth_to_space(xb, 2)                   # level1, stride 2
+                                   xb, train=train)     # W-b2 of stride-2
+            x = w_depth_to_space(xb, 2)                 # level1, stride 2
             outputs.append(x)
         else:
             x = nn.Conv(channels[0], (7, 7), padding=[(3, 3), (3, 3)],

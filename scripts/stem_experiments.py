@@ -50,6 +50,29 @@ def s2d_kernel(k, b, stride, pad, bo):
     return out, (-lo, hi), (-low, hiw)
 
 
+def ws2d_kernel(k, b, stride, pad):
+    """Re-express a full-res conv kernel (kh,kw,ci,co) as a W-only
+    block-domain kernel: H stays plain (stride/pad unchanged), W is blocked
+    by ``b`` with block-domain stride 1 and output block bo = b // stride.
+    Returns (kernel (kh, kbw, b*ci, bo*co), (pad_w_lo, pad_w_hi)).
+
+    W-only blocking matters because in NHWC the (W, C) axes are memory-
+    adjacent: space_to_depth along W alone is a pure reshape (bitcast), so
+    the stem needs NO layout-transpose copies at all."""
+    kh, kw, ci, co = k.shape
+    bo = b // stride
+    lo = (0 - pad) // b
+    hi = max((stride * q + kw - 1 - pad) // b for q in range(bo))
+    kbw = hi - lo + 1
+    out = np.zeros((kh, kbw, b * ci, bo * co), k.dtype)
+    for qj in range(bo):
+        for v in range(kw):
+            bj, pj = divmod(stride * qj + v - pad, b)
+            out[:, bj - lo, pj * ci:(pj + 1) * ci,
+                qj * co:(qj + 1) * co] = k[:, v]
+    return out, (-lo, hi)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
@@ -135,8 +158,33 @@ def main():
         xb = bnrelu(block_conv(xb, k3, 2, 2, 1, 1), 2, 1)
         return xb
 
+    def ws2d(x, b):
+        B_, H_, W_, C = x.shape
+        return x.reshape(B_, H_, W_ // b, b * C)         # pure reshape
+
+    def wd2s(x, b):
+        B_, H_, Wb, C = x.shape
+        return x.reshape(B_, H_, Wb * b, C // b)
+
+    def wblock_conv(x, k_full, b, stride_h, stride_w, pad):
+        kb, pw = ws2d_kernel(k_full, b, stride_w, pad)
+        return lax.conv_general_dilated(
+            x, jnp.asarray(kb).astype(x.dtype), (stride_h, 1),
+            [(pad, pad), pw],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=PRECISION[0],
+        )
+
+    def v_ws2d4(x):
+        xw = ws2d(x, 4)                                  # (B,384,320,12)
+        xw = bnrelu(wblock_conv(xw, k1, 4, 1, 1, 3), 0, 4)   # 12->64
+        xw = bnrelu(wblock_conv(xw, k2, 4, 1, 1, 1), 1, 4)   # 64->64
+        xw = bnrelu(wblock_conv(xw, k3, 4, 2, 2, 1), 2, 2)   # 64->64
+        return wd2s(xw, 2)                               # (B,192,640,32)
+
     variants = {
         "direct": direct, "s2d4": v_s2d4, "s2d4/2": v_s2d4_2, "s2d2": v_s2d2,
+        "ws2d4": v_ws2d4,
     }
 
     # correctness in f32 (small batch; HIGHEST precision so the check is
