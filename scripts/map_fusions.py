@@ -28,22 +28,51 @@ def main():
     from monocon_tpu.models import create_detector_state
     from monocon_tpu.ops.decode import decode_predictions
 
+    names = sys.argv[1:]
+    train = "--train" in names
+    if train:
+        names.remove("--train")
+
     pad_hw = (384, 1280)
-    model, variables = create_detector_state(
-        jax.random.PRNGKey(0), image_hw=pad_hw, dtype=jnp.bfloat16
-    )
-
-    @jax.jit
-    def forward(variables, image, p2):
-        pred = model.apply(variables, image, train=False)
-        return decode_predictions(pred, p2, pad_hw)
-
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.normal(size=(16, *pad_hw, 3)).astype(np.float32))
-    p2 = jnp.asarray(np.tile(DEFAULT_P2[None], (16, 1, 1)))
-    hlo = forward.lower(variables, image, p2).compile().as_text()
 
-    names = sys.argv[1:]
+    if train:
+        from monocon_tpu.engine import create_train_state, make_train_step
+        from monocon_tpu.solver import build_optimizer
+
+        model, variables = create_detector_state(
+            jax.random.PRNGKey(0), image_hw=pad_hw
+        )
+        optimizer = build_optimizer(total_steps=1000)
+        state = create_train_state(variables, optimizer)
+        step_fn = jax.jit(make_train_step(model, optimizer))
+        b, o = 16, 30
+        label = {
+            "gt_bboxes": np.zeros((b, o, 4), np.float32),
+            "gt_labels": np.zeros((b, o), np.float32),
+            "gt_bboxes_3d": np.zeros((b, o, 7), np.float32),
+            "depths": np.zeros((b, o), np.float32),
+            "gt_kpts_2d": np.zeros((b, o, 18), np.float32),
+            "gt_kpts_valid_mask": np.full((b, o, 9), 2, np.float32),
+            "mask": np.zeros((b, o), np.float32),
+        }
+        label["mask"][:, :5] = 1
+        label = {k: jnp.asarray(v) for k, v in label.items()}
+        batch = {"img": image, "label": label}
+        hlo = step_fn.lower(state, batch).compile().as_text()
+    else:
+        model, variables = create_detector_state(
+            jax.random.PRNGKey(0), image_hw=pad_hw, dtype=jnp.bfloat16
+        )
+
+        @jax.jit
+        def forward(variables, image, p2):
+            pred = model.apply(variables, image, train=False)
+            return decode_predictions(pred, p2, pad_hw)
+
+        p2 = jnp.asarray(np.tile(DEFAULT_P2[None], (16, 1, 1)))
+        hlo = forward.lower(variables, image, p2).compile().as_text()
     # Parse the HLO into blocks per computation, find fusion defs.
     # A fused computation is named %fused_computation... and the fusion
     # instruction refers to it: %fusion.51 = ... fusion(...), calls=%fused_X

@@ -34,7 +34,7 @@ from monocon_tpu.utils.convert import (
 )
 
 
-def main(steps: int = 4000, lr: float = 5e-4) -> int:
+def main(steps: int = 4000, lr: float = 5e-4, dtype: str = "float32") -> int:
     root = tempfile.mkdtemp()
     generate_kitti_dataset(root, num_train=4, num_val=4,
                            image_hw=(192, 640), seed=21)
@@ -48,7 +48,8 @@ def main(steps: int = 4000, lr: float = 5e-4) -> int:
     }
 
     model, variables = create_detector_state(
-        jax.random.PRNGKey(0), image_hw=(192, 640)
+        jax.random.PRNGKey(0), image_hw=(192, 640),
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
     )
     opt = build_optimizer(lr=lr, total_steps=steps, use_scheduler=True)
     state = create_train_state(variables, opt)
@@ -90,4 +91,13 @@ def main(steps: int = 4000, lr: float = 5e-4) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--dtype", default="float32",
+                    help="'bfloat16' validates the mixed-precision "
+                         "training path (TPU.COMPUTE_DTYPE)")
+    a = ap.parse_args()
+    raise SystemExit(main(a.steps, a.lr, a.dtype))

@@ -94,23 +94,29 @@ def main():
     targets_mod._PALLAS_DEFAULT = False
 
     # -- 3. decode in context (bf16 serving config) ---------------------
+    # Decode alone on precomputed head outputs (comparing forward-only vs
+    # forward+decode instead is misleading: decode does not consume the
+    # two kpt-heatmap branches, so XLA dead-code-eliminates them from the
+    # fused program and "forward+decode" comes out FASTER than "forward").
     model_bf, var_bf = create_detector_state(
         jax.random.PRNGKey(0), image_hw=pad_hw, dtype=jnp.bfloat16
     )
     p2 = jnp.asarray(np.tile(DEFAULT_P2[None], (B, 1, 1)))
 
-    fwd_only = jax.jit(lambda v, im: jax.tree.map(
-        lambda x: x.sum(), model_bf.apply(v, im, train=False)))
+    pred = jax.jit(lambda v, im: model_bf.apply(v, im, train=False))(
+        var_bf, img)
+    pred = jax.tree.map(lambda x: x.block_until_ready(), pred)
+    decode_only = jax.jit(lambda pr, p: jax.tree.map(
+        lambda x: x.sum(), decode_predictions(pr, p, pad_hw)))
     fwd_decode = jax.jit(lambda v, im, p: jax.tree.map(
         lambda x: x.sum(),
         decode_predictions(model_bf.apply(v, im, train=False), p, pad_hw)))
-    dt_f = min(sync_timer(fwd_only, var_bf, img, iters=20, warmup=3)
-               for _ in range(3))
+    dt_do = min(sync_timer(decode_only, pred, p2, iters=20, warmup=3)
+                for _ in range(3))
     dt_d = min(sync_timer(fwd_decode, var_bf, img, p2, iters=20, warmup=3)
                for _ in range(3))
-    rows.append(("forward only bf16", dt_f * 1e3))
+    rows.append(("3D decode alone (XLA ops, on head outputs)", dt_do * 1e3))
     rows.append(("forward + 3D decode bf16", dt_d * 1e3))
-    rows.append(("decode increment", (dt_d - dt_f) * 1e3))
 
     print(f"\nplatform: {jax.devices()[0].platform} "
           f"({jax.devices()[0].device_kind}), B={B}, {pad_hw}")
