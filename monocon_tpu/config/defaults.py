@@ -130,6 +130,11 @@ _DEFAULTS: Dict[str, Any] = {
         "PREFETCH_BATCHES": 2,        # host->device prefetch depth
         "PAD_HW": [384, 1248],        # static batch canvas (null: per-batch)
         "SYNC_BATCH_NORM": True,      # cross-replica BN statistics under dp
+        # 'uint8': ship raw pixels, normalize on device (4x fewer H2D
+        # bytes; exact for eval, quantizes augmented train pixels by
+        # <=0.009 normalized units). 'float32': host-normalized, the
+        # reference's exact input numerics.
+        "IMAGE_TRANSPORT": "uint8",
     },
 }
 

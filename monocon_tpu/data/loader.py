@@ -38,7 +38,11 @@ def collate(samples: List[Dict[str, Any]],
         ws = [s["img"].shape[1] for s in samples]
         pad_hw = (max(hs), max(ws))
     b = len(samples)
-    images = np.zeros((b, *pad_hw, 3), np.float32)
+    # Canvas dtype follows the samples: uint8 when the pipeline defers
+    # normalization to the device (QuantizeU8 / device_normalize), float32
+    # when the host Normalize transform ran.
+    img_dtype = samples[0]["img"].dtype
+    images = np.zeros((b, *pad_hw, 3), img_dtype)
     for i, s in enumerate(samples):
         img = s["img"]
         h = min(img.shape[0], pad_hw[0])

@@ -430,22 +430,52 @@ class Pad:
         return sample
 
 
-def default_train_transforms(crop_hw: Tuple[int, int] = (320, 960)) -> List:
+class QuantizeU8:
+    """Round to integral pixel values and store as uint8 for cheap
+    host->device transport; normalization then happens on device
+    (``ops.image_norm.normalize_if_raw``).
+
+    Divergence from the reference (documented): the reference normalizes
+    the *float* output of PhotometricDistortion on the host
+    (default_transforms.py:376-407); quantizing first perturbs each pixel
+    by at most 0.5/57.4 ~ 0.009 normalized units. Use
+    ``TPU.IMAGE_TRANSPORT: float32`` for bit-faithful input numerics.
+    For the un-augmented eval pipeline pixels are already integral, so
+    the uint8 path is exact there."""
+
+    def __call__(self, sample: Dict, rng) -> Dict:
+        img = sample["img"]
+        if img.dtype != np.uint8:
+            sample["img"] = (
+                np.clip(np.rint(img), 0, 255).astype(np.uint8)
+            )
+        return sample
+
+
+def default_train_transforms(crop_hw: Tuple[int, int] = (320, 960),
+                             device_normalize: bool = False) -> List:
     """Reference pipeline (dataset/monocon_dataset.py:23-35), minus
     ToTensor (batching stays numpy). ``crop_hw`` parameterizes the fixed
-    crop for non-KITTI image sizes."""
+    crop for non-KITTI image sizes. ``device_normalize`` replaces the
+    host Normalize with uint8 quantization; the jitted step normalizes
+    on device (4x fewer host->device bytes)."""
+    last = [QuantizeU8()] if device_normalize else [Normalize()]
     return [
         PhotometricDistortion(),
         RandomShift(prob=0.5, shift_range=(-32, 32)),
         RandomHorizontalFlip(prob=0.5),
         RandomCrop3D(prob=0.5, crop_size=tuple(crop_hw),
                      hide_kpts_in_crop_area=True),
-        Normalize(),
+        *last,
         Pad(32),
     ]
 
 
-def default_test_transforms() -> List:
+def default_test_transforms(device_normalize: bool = False) -> List:
+    if device_normalize:
+        # Eval images are untouched uint8; ship them raw and normalize
+        # inside the jitted forward — exact same numerics, 4x fewer bytes.
+        return [Pad(32)]
     return [Normalize(), Pad(32)]
 
 

@@ -29,6 +29,7 @@ from ..config import ConfigNode, export_cfg, get_default_cfg, load_cfg
 from ..data import DataLoader, MonoConDataset
 from ..models import create_detector_state
 from ..ops.decode import decode_predictions
+from ..ops.image_norm import normalize_if_raw
 from ..parallel import make_mesh, replicate_state, shard_batch
 from ..solver import build_optimizer
 from ..utils.convert import (
@@ -167,16 +168,21 @@ class MonoConEngine:
 
         cfg = self.cfg
         split = cfg.DATA.TRAIN_SPLIT if is_train else cfg.DATA.TEST_SPLIT
-        transforms = None  # None -> the dataset's split defaults
+        # uint8 transport defers normalization to the jitted programs
+        # (ops/image_norm.py): 4x fewer bytes over the host->device link.
+        dev_norm = cfg.TPU.get("IMAGE_TRANSPORT", "uint8") == "uint8"
         if is_train and split == "train":
             transforms = (
                 default_train_transforms(
-                    tuple(cfg.DATA.get("CROP_HW", (320, 960)))
+                    tuple(cfg.DATA.get("CROP_HW", (320, 960))),
+                    device_normalize=dev_norm,
                 )
                 if cfg.DATA.get("AUGMENT", True)
                 # DATA.AUGMENT False: normalize/pad only
-                else default_test_transforms()
+                else default_test_transforms(device_normalize=dev_norm)
             )
+        else:
+            transforms = default_test_transforms(device_normalize=dev_norm)
         dataset = MonoConDataset(
             base_root=cfg.DATA.ROOT,
             split=split,
@@ -198,7 +204,8 @@ class MonoConEngine:
             prefetch_batches=cfg.TPU.PREFETCH_BATCHES,
             # Device placement happens on the loader's prefetch thread so
             # H2D transfers overlap the previous step's compute.
-            device_put_fn=self._device_batch if is_train else None,
+            device_put_fn=(self._device_batch if is_train
+                           else self._device_eval_batch),
             # Static batch shapes: remainder batches are padded with
             # repeated samples (masked out of the loss / eval results), so
             # the train and eval programs each compile exactly once.
@@ -207,6 +214,7 @@ class MonoConEngine:
         return dataset, loader
 
     def _eval_forward(self, variables, image, p2):
+        image = normalize_if_raw(image)  # uint8 transport -> f32 in-jit
         pad_hw = (image.shape[1], image.shape[2])
         pred = self.model.apply(variables, image, train=False)
         return decode_predictions(pred, p2, pad_hw)
@@ -242,6 +250,20 @@ class MonoConEngine:
         if img.shape[0] % self.num_devices == 0:
             dev = shard_batch(dev, self.mesh)
         # keep host-side fields for logging/debugging consumers
+        out = dict(batch)
+        out.update(dev)
+        return out
+
+    def _device_eval_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Place the eval tensors (img, p2) on device from the loader's
+        prefetch thread so H2D transfers overlap the previous batch's
+        forward; host-side fields (calib, img_metas) stay put."""
+        img = batch["img"]
+        if isinstance(img, jax.Array):
+            return batch
+        dev = {"img": jnp.asarray(img), "p2": jnp.asarray(batch["p2"])}
+        if img.shape[0] % self.num_devices == 0 and self.num_devices > 1:
+            dev = shard_batch(dev, self.mesh)
         out = dict(batch)
         out.update(dev)
         return out
@@ -376,13 +398,12 @@ class MonoConEngine:
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
         }
-        img = jnp.asarray(batch["img"])
-        p2 = jnp.asarray(batch["p2"])
-        if img.shape[0] % self.num_devices == 0 and self.num_devices > 1:
-            sharded = shard_batch({"img": img, "p2": p2}, self.mesh)
-            img, p2 = sharded["img"], sharded["p2"]
+        # The loader's prefetch thread normally placed these already
+        # (_device_eval_batch); this covers ad-hoc host batches.
+        if not isinstance(batch["img"], jax.Array):
+            batch = self._device_eval_batch(batch)
         with self.mesh:
-            return self._eval_fn(variables, img, p2)
+            return self._eval_fn(variables, batch["img"], batch["p2"])
 
     def _collect_eval(self, decoded, batch, container) -> None:
         decoded = {k: np.asarray(v) for k, v in decoded.items()}

@@ -24,6 +24,7 @@ from ..losses import (
     masked_l1_loss,
 )
 from ..ops.heatmap import gather_feature
+from ..ops.image_norm import normalize_if_raw
 from ..ops.targets import generate_targets
 
 EPS = 1e-12
@@ -149,7 +150,7 @@ def make_train_step(
     """
 
     def train_step(state: TrainState, batch: Dict[str, Any]):
-        img = batch["img"]
+        img = normalize_if_raw(batch["img"])  # uint8 transport -> f32
         valid = batch.get("valid")  # (B,) 0/1 for padded remainder batches
         pad_hw = (img.shape[1], img.shape[2])
         feat_hw = (pad_hw[0] // feat_stride, pad_hw[1] // feat_stride)
