@@ -32,6 +32,9 @@ def main():
     train = "--train" in names
     if train:
         names.remove("--train")
+    bf16 = "--bf16" in names
+    if bf16:
+        names.remove("--bf16")
 
     pad_hw = (384, 1280)
     rng = np.random.default_rng(0)
@@ -42,7 +45,8 @@ def main():
         from monocon_tpu.solver import build_optimizer
 
         model, variables = create_detector_state(
-            jax.random.PRNGKey(0), image_hw=pad_hw
+            jax.random.PRNGKey(0), image_hw=pad_hw,
+            dtype=jnp.bfloat16 if bf16 else None,
         )
         optimizer = build_optimizer(total_steps=1000)
         state = create_train_state(variables, optimizer)

@@ -94,10 +94,16 @@ def test_loaded_pth_forward_matches_reference(synthetic_root, reference_pth):
     engine.load_checkpoint(reference_pth)
 
     batch = next(iter(engine.test_loader))
+    # The loader ships raw uint8 (TPU.IMAGE_TRANSPORT); materialize the
+    # device-side normalization once so both frameworks see the same f32
+    # input (ops/image_norm.py is bit-equal to the host Normalize).
+    from monocon_tpu.ops.image_norm import normalize_if_raw
+
+    img = np.asarray(normalize_if_raw(jnp.asarray(batch["img"])))
     pred = engine.model.apply(
         {"params": engine.state.params,
          "batch_stats": engine.state.batch_stats},
-        jnp.asarray(batch["img"]), train=False,
+        jnp.asarray(img), train=False,
     )
 
     sys.path.insert(0, REFERENCE)
@@ -109,9 +115,7 @@ def test_loaded_pth_forward_matches_reference(synthetic_root, reference_pth):
     det.load_state_dict(torch.load(reference_pth, weights_only=False)["state_dict"])
     det.eval()
     with torch.no_grad():
-        x = torch.from_numpy(
-            np.ascontiguousarray(batch["img"].transpose(0, 3, 1, 2))
-        )
+        x = torch.from_numpy(np.ascontiguousarray(img.transpose(0, 3, 1, 2)))
         feat = det.neck(list(det.backbone(x)))[0]
         ref = det.head.forward_test(feat)
     ref_heat = ref["center_heatmap_pred"].numpy()  # NCHW
