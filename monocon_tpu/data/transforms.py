@@ -479,7 +479,19 @@ def default_test_transforms(device_normalize: bool = False) -> List:
     return [Normalize(), Pad(32)]
 
 
-def default_raw_transforms() -> List:
+class KeepOrigin:
+    """Stash the current (unnormalized) image as ``ori_img`` for video
+    export, like Normalize(keep_origin=True) does, without normalizing."""
+
+    def __call__(self, sample: Dict, rng) -> Dict:
+        sample["ori_img"] = sample["img"].copy()
+        return sample
+
+
+def default_raw_transforms(device_normalize: bool = False) -> List:
     """Raw-sequence inference keeps the unnormalized image for video export
-    (reference dataset/kitti_raw_dataset.py:15-20)."""
+    (reference dataset/kitti_raw_dataset.py:15-20). ``device_normalize``
+    ships raw uint8 frames and normalizes inside the jitted forward."""
+    if device_normalize:
+        return [KeepOrigin(), Pad(32)]
     return [Normalize(keep_origin=True), Pad(32)]

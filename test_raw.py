@@ -16,7 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from monocon_tpu.data import KITTIRawDataset
+from monocon_tpu.data.transforms import default_raw_transforms
 from monocon_tpu.engine.checkpoint import load_weights_auto
+from monocon_tpu.ops.image_norm import normalize_if_raw
 from monocon_tpu.models import create_detector_state
 from monocon_tpu.ops.decode import decode_predictions
 from monocon_tpu.utils import split_batch_detections, to_vis_format, tprint
@@ -38,7 +40,12 @@ def parse_args():
 
 def main():
     args = parse_args()
-    dataset = KITTIRawDataset(args.data_dir, args.calib_file)
+    # Frames cross to the device as raw uint8; normalization happens
+    # inside the jitted forward (4x fewer bytes per frame).
+    dataset = KITTIRawDataset(
+        args.data_dir, args.calib_file,
+        transforms=default_raw_transforms(device_normalize=True),
+    )
     tprint(f"{len(dataset)} frames found.")
 
     model, variables = create_detector_state(jax.random.PRNGKey(0))
@@ -46,6 +53,7 @@ def main():
 
     @jax.jit
     def forward(variables, image, p2):
+        image = normalize_if_raw(image)
         pad_hw = (image.shape[1], image.shape[2])
         pred = model.apply(variables, image, train=False)
         return decode_predictions(pred, p2, pad_hw)

@@ -97,6 +97,25 @@ def test_raw_dataset_and_video(tmp_path):
     viz.export_as_video(str(out), ["bev"], fps=5)
     assert os.path.getsize(out / "bev.mp4") > 0
 
+    # test_raw.py's uint8 transport: raw frames stay uint8 with ori_img
+    # kept, and in-jit normalization equals the host Normalize pipeline.
+    import jax.numpy as jnp
+
+    from monocon_tpu.data.transforms import default_raw_transforms
+    from monocon_tpu.ops.image_norm import normalize_if_raw
+
+    ds_u8 = KITTIRawDataset(
+        str(frames), str(calib),
+        transforms=default_raw_transforms(device_normalize=True),
+    )
+    s_u8 = ds_u8[0]
+    assert s_u8["img"].dtype == np.uint8
+    assert s_u8["ori_img"].shape[1:3] == (96, 320)
+    np.testing.assert_array_equal(
+        np.asarray(normalize_if_raw(jnp.asarray(s_u8["img"]))),
+        s["img"],
+    )
+
 
 def test_profiling_utils():
     import jax.numpy as jnp

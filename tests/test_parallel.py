@@ -25,6 +25,41 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)
 
 
+def test_sharded_step_compiles_to_collectives(rng):
+    """The compiled SPMD train step must contain cross-device collectives
+    (all-reduce) — gradients and sync-BN statistics ride the mesh's data
+    axis rather than being recomputed per replica. Guards against a
+    silent fallback to replicated compute."""
+    from monocon_tpu.engine import create_train_state, make_train_step
+    from monocon_tpu.models import create_detector_state
+    from monocon_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from monocon_tpu.solver import build_optimizer
+    from tests.test_ops_parity import random_label_batch
+
+    pad_hw = (64, 96)
+    model, variables = create_detector_state(
+        jax.random.PRNGKey(0), image_hw=pad_hw
+    )
+    optimizer = build_optimizer(total_steps=10, use_scheduler=False)
+    step = jax.jit(make_train_step(model, optimizer))
+
+    label = random_label_batch(rng, b=8, o=30, feat_hw=(16, 24),
+                               pad_hw=pad_hw)
+    batch = {
+        "img": jnp.asarray(
+            rng.normal(size=(8, *pad_hw, 3)).astype(np.float32)
+        ),
+        "label": {k: jnp.asarray(v) for k, v in label.items()},
+    }
+
+    mesh = make_mesh(8)
+    state = replicate_state(create_train_state(variables, optimizer), mesh)
+    with mesh:
+        compiled = step.lower(state, shard_batch(batch, mesh)).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo, "sharded step compiled without collectives"
+
+
 def test_parallel_step_matches_single_device(rng):
     """The sharded train step must be numerically equivalent to the
     single-device step (same batch, same init)."""
