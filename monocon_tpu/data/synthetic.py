@@ -100,9 +100,14 @@ def make_label_line(
 
 
 def random_scene_labels(rng: np.ndarray, num_objects: int, p2: np.ndarray,
-                        image_hw=DEFAULT_IMAGE_HW) -> List[str]:
+                        image_hw=DEFAULT_IMAGE_HW):
     """Generate physically consistent labels: sample 3D boxes, derive the 2D
-    box from the projected corners so geometry round-trips in tests."""
+    box from the projected corners so geometry round-trips in tests.
+
+    Returns ``(label_lines, draw_specs)`` — the specs carry each labeled
+    object's projected corners so ``render_scene`` can draw it (a detector
+    can only *generalize* to held-out images if the objects are visually
+    rendered, not just described in the label file)."""
     from .geometry import boxes3d_to_corners, corners_to_image_bbox
 
     names = ["Car", "Pedestrian", "Cyclist"]
@@ -112,6 +117,7 @@ def random_scene_labels(rng: np.ndarray, num_objects: int, p2: np.ndarray,
         "Cyclist": (1.72, 0.6, 1.76),
     }
     lines = []
+    specs = []
     for _ in range(num_objects):
         name = names[int(rng.integers(0, 3))]
         h, w, l = dims[name]
@@ -142,6 +148,7 @@ def random_scene_labels(rng: np.ndarray, num_objects: int, p2: np.ndarray,
                 ry=ry,
             )
         )
+        specs.append({"name": name, "corners": corners[0], "z": z})
     if not lines:
         # Fallback: one easy car placed via the actual projection so its
         # box is guaranteed inside this image size.
@@ -154,11 +161,55 @@ def random_scene_labels(rng: np.ndarray, num_objects: int, p2: np.ndarray,
         lines = [make_label_line(bbox=bbox, loc=(0.0, 1.6, 12.0),
                                  dim_hwl=(1.55, 1.65, 4.0), ry=0.0,
                                  alpha=0.0)]
+        specs = [{"name": "Car", "corners": corners[0], "z": 12.0}]
     # A DontCare region, as in real KITTI files.
     lines.append(
         "DontCare -1 -1 -10 500.00 170.00 590.00 190.00 -1 -1 -1 -1000 -1000 -1000 -10"
     )
-    return lines
+    return lines, specs
+
+
+# Distinct channel-dominant colors per class (RGB) so classification is
+# visually learnable from synthetic scenes.
+CLASS_COLORS = {
+    "Car": (205, 65, 55),
+    "Pedestrian": (55, 195, 70),
+    "Cyclist": (70, 90, 210),
+}
+
+
+def render_scene(render_rng: np.random.Generator, image_hw, specs,
+                 p2: np.ndarray) -> np.ndarray:
+    """Draw the labeled objects onto a smooth random background.
+
+    Each object is the filled convex hull of its 8 projected 3D corners in
+    its class color (brightness-jittered per instance), with the front face
+    outlined darker as an orientation cue, drawn far-to-near so occlusion
+    matches depth. The background is a low-frequency field + fine noise —
+    stationary statistics across images, so a detector must learn the
+    objects, not memorize backgrounds."""
+    import cv2
+
+    from .geometry import project_to_image
+
+    h, w = image_hw
+    base = render_rng.integers(90, 166, size=(6, 8, 3)).astype(np.uint8)
+    img = cv2.resize(base, (w, h), interpolation=cv2.INTER_LINEAR)
+    img = img.astype(np.int16)
+    img += render_rng.integers(-12, 13, size=img.shape).astype(np.int16)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+
+    for spec in sorted(specs, key=lambda s: -s["z"]):
+        uv = project_to_image(spec["corners"], p2)  # (8, 2)
+        pts = np.round(uv).astype(np.int32)
+        color = np.asarray(CLASS_COLORS[spec["name"]], np.float32)
+        color = color * float(render_rng.uniform(0.75, 1.25))
+        col = tuple(int(c) for c in np.clip(color, 0, 255))
+        hull = cv2.convexHull(pts.reshape(-1, 1, 2))
+        cv2.fillConvexPoly(img, hull, col)
+        edge = tuple(int(c * 0.55) for c in col)
+        cv2.polylines(img, [pts[:4].reshape(-1, 1, 2)], True, edge, 1)
+    return img
 
 
 def generate_kitti_dataset(
@@ -186,15 +237,19 @@ def generate_kitti_dataset(
 
     total = num_train + num_val
     ids = [f"{i:06d}" for i in range(total)]
-    for sample_id in ids:
-        img = rng.integers(0, 255, size=(*image_hw, 3), dtype=np.uint8)
-        cv2.imwrite(os.path.join(training, "image_2", f"{sample_id}.png"), img)
+    for i, sample_id in enumerate(ids):
         with open(os.path.join(training, "calib", f"{sample_id}.txt"), "w") as f:
             f.write(make_calib_text(p2))
         n_obj = int(rng.integers(1, max_objects + 1))
-        lines = random_scene_labels(rng, n_obj, p2, image_hw)
+        lines, specs = random_scene_labels(rng, n_obj, p2, image_hw)
         with open(os.path.join(training, "label_2", f"{sample_id}.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
+        # Rendering randomness comes from a per-sample stream so the label
+        # content above is a pure function of (seed, sample order).
+        img = render_scene(np.random.default_rng((seed, i)), image_hw,
+                           specs, p2)
+        cv2.imwrite(os.path.join(training, "image_2", f"{sample_id}.png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
 
     with open(os.path.join(root, "ImageSets", "train.txt"), "w") as f:
         f.write("\n".join(ids[:num_train]) + "\n")

@@ -31,6 +31,9 @@ def main() -> int:
                     help="keep the full train-time augmentation (needs far "
                          "more epochs to converge; the default trains bare, "
                          "which is enough to demonstrate held-out AP)")
+    ap.add_argument("--dtype", default="float32",
+                    help="'bfloat16' validates the recommended "
+                         "mixed-precision training config at AP level")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -58,24 +61,30 @@ def main() -> int:
     cfg.TPU.PAD_HW = [192, 640]
     cfg.DATA.CROP_HW = [160, 512]
     cfg.DATA.AUGMENT = bool(args.augment)
+    cfg.TPU.COMPUTE_DTYPE = args.dtype
     cfg.MODEL.BACKBONE.IMAGENET_PRETRAINED = False
 
     engine = MonoConEngine(cfg)
     engine.train()
 
     results = engine.evaluate(verbose=True)
-    key = "KITTI/Car_3D_AP40_moderate_loose"
+    # Keys are '{container}/{ap_type}' (data/base_dataset.py:124), e.g.
+    # 'img_bbox/KITTI/Car_2D_AP40_moderate_strict'.
     keys = [
-        "KITTI/Car_2D_AP40_moderate_strict",
-        "KITTI/Car_3D_AP40_moderate_loose",
-        "KITTI/Car_3D_AP40_moderate_strict",
-        "KITTI/Overall_3D_AP40_moderate",
+        "img_bbox/KITTI/Car_2D_AP40_moderate_strict",
+        "img_bbox/KITTI/Car_3D_AP40_moderate_loose",
+        "img_bbox/KITTI/Car_3D_AP40_moderate_strict",
+        "img_bbox/KITTI/Overall_3D_AP40_moderate",
     ]
     print("\nheld-out AP40 (synthetic val, disjoint from train):")
     for k in keys:
         if k in results:
             print(f"  {k}: {results[k]:.2f}")
-    ok = results.get("KITTI/Car_2D_AP40_moderate_strict", 0.0) > 5.0
+    nonzero = sum(1 for k, v in results.items()
+                  if k.startswith("img_bbox/") and v > 0)
+    ok = (results.get("img_bbox/KITTI/Car_2D_AP40_moderate_strict", 0.0)
+          > 5.0)
+    print(f"({nonzero} nonzero held-out AP entries)")
     print("GENERALIZATION CHECK:", "PASS" if ok else "FAIL",
           f"(checkpoints in {out})")
     return 0 if ok else 1
