@@ -131,12 +131,17 @@ def rotate_iou_matrix(
 
     area1 = (boxes[:, 2] * boxes[:, 3]).astype(np.float64)[:, None]
     area2 = (qboxes[:, 2] * qboxes[:, 3]).astype(np.float64)[None, :]
+    # Reference quirk: the kernel computes element [n, k] as
+    # devRotateIoUEval(qboxes[k], boxes[n]) (rotate_iou.py:332-334), so
+    # criterion 0 ("inter/area1") actually divides by the QUERY box area and
+    # criterion 1 by the first argument's. Reproduced here; the protocol
+    # itself only uses -1 (symmetric IoU) and 2 (raw intersection).
     if criterion == -1:
         denom = area1 + area2 - inter
     elif criterion == 0:
-        denom = np.broadcast_to(area1, inter.shape)
-    elif criterion == 1:
         denom = np.broadcast_to(area2, inter.shape)
+    elif criterion == 1:
+        denom = np.broadcast_to(area1, inter.shape)
     else:
         return inter.astype(np.float32)
     out = np.where(denom > 0, inter / np.where(denom == 0, 1, denom), 0.0)
