@@ -27,12 +27,14 @@ class MonoConDetector(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+    def __call__(self, image: jnp.ndarray, train: bool = False,
+                 valid: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
         """image: (B, H, W, 3) normalized NHWC -> prediction dict at
-        stride 4."""
+        stride 4. ``valid`` (B,) 0/1 keeps padded remainder rows out of
+        every BatchNorm batch statistic (see layers.bn_mask)."""
         channels = ARCH_SETTINGS[self.num_layers][2]
         feats = DLA(self.num_layers, dtype=self.dtype, name="backbone")(
-            image, train=train
+            image, train=train, valid=valid
         )
         neck_out = DLAUp(
             in_features_list=tuple(channels[2:]),
@@ -40,7 +42,7 @@ class MonoConDetector(nn.Module):
             start_level=2,
             dtype=self.dtype,
             name="neck",
-        )(feats, train=train)
+        )(feats, train=train, valid=valid)
         # Head input width: 64 for DLA-34/46, 128 otherwise
         # (reference monocon_detector.py:45-48).
         feat_ch = 64 if self.num_layers in (34, 46) else 128
@@ -51,7 +53,7 @@ class MonoConDetector(nn.Module):
             feat_ch=feat_ch,
             dtype=self.dtype,
             name="heads",
-        )(neck_out, train=train)
+        )(neck_out, train=train, valid=valid)
 
 
 def create_detector_state(

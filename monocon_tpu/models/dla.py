@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
 
-from .layers import BN_EPS, BN_MOMENTUM, ConvBnRelu, he_normal_conv_init
+from .layers import (BN_EPS, BN_MOMENTUM, ConvBnRelu, bn_mask,
+                     he_normal_conv_init)
 
 Dtype = Any
 
@@ -105,13 +106,14 @@ def _wblock_conv(xb, k_full, block, stride, pad, dtype):
     )
 
 
-def _block_bn(bn: nn.BatchNorm, xb: jnp.ndarray, channels: int):
+def _block_bn(bn: nn.BatchNorm, xb: jnp.ndarray, channels: int,
+              valid=None):
     """Apply BN in block domain with statistics per ORIGINAL channel:
     reshape (B,Hb,Wb,P*C) -> (B,Hb,Wb,P,C) so the feature axis is the
     original channel and the folded phases join the reduction axes."""
     B, Hb, Wb, P = xb.shape
     x5 = xb.reshape(B, Hb, Wb, P // channels, channels)
-    return bn(x5).reshape(B, Hb, Wb, P)
+    return bn(x5, mask=bn_mask(valid, x5.ndim)).reshape(B, Hb, Wb, P)
 
 
 class _S2DConvBnRelu(nn.Module):
@@ -127,7 +129,8 @@ class _S2DConvBnRelu(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, xb: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, xb: jnp.ndarray, train: bool = False,
+                 valid=None) -> jnp.ndarray:
         k = _ConvKernel(
             (self.kernel_size, self.kernel_size, self.in_features,
              self.features),
@@ -135,7 +138,8 @@ class _S2DConvBnRelu(nn.Module):
         )()
         xb = _wblock_conv(xb, k, self.block, self.strides,
                           self.kernel_size // 2, self.dtype)
-        xb = _block_bn(_bn(train, self.dtype, "bn"), xb, self.features)
+        xb = _block_bn(_bn(train, self.dtype, "bn"), xb, self.features,
+                       valid=valid)
         return nn.relu(xb)
 
 
@@ -150,12 +154,13 @@ class _S2DStemLevel(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, xb: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, xb: jnp.ndarray, train: bool = False,
+                 valid=None) -> jnp.ndarray:
         return _S2DConvBnRelu(
             self.features, self.in_features, kernel_size=3,
             strides=self.strides, block=self.block, dtype=self.dtype,
             name="block0",
-        )(xb, train=train)
+        )(xb, train=train, valid=valid)
 
 
 def _bn(train: bool, dtype, name: str) -> nn.BatchNorm:
@@ -183,7 +188,8 @@ class BasicBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, residual=None, train: bool = False):
+    def __call__(self, x, residual=None, train: bool = False,
+                 valid=None):
         if residual is None:
             residual = x
         pad = self.dilation
@@ -200,7 +206,7 @@ class BasicBlock(nn.Module):
                 use_bias=False, kernel_init=he_normal_conv_init,
                 dtype=self.dtype, name="conv1",
             )(x)
-        out = _bn(train, self.dtype, "bn1")(out)
+        out = _bn(train, self.dtype, "bn1")(out, mask=bn_mask(valid, out.ndim))
         out = nn.relu(out)
         out = nn.Conv(
             self.features, (3, 3), strides=(1, 1),
@@ -209,7 +215,7 @@ class BasicBlock(nn.Module):
             use_bias=False, kernel_init=he_normal_conv_init,
             dtype=self.dtype, name="conv2",
         )(out)
-        out = _bn(train, self.dtype, "bn2")(out)
+        out = _bn(train, self.dtype, "bn2")(out, mask=bn_mask(valid, out.ndim))
         return nn.relu(out + residual)
 
 
@@ -226,7 +232,8 @@ class Bottleneck(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, residual=None, train: bool = False):
+    def __call__(self, x, residual=None, train: bool = False,
+                 valid=None):
         if residual is None:
             residual = x
         bottle = self.features // 2
@@ -236,7 +243,8 @@ class Bottleneck(nn.Module):
             k1 = _ConvKernel((1, 1, x.shape[-1] // 2, bottle),
                              name="conv1")()
             out = _wblock_conv(x, k1, 2, 1, 0, self.dtype)  # stays W-b2
-            out = _block_bn(_bn(train, self.dtype, "bn1"), out, bottle)
+            out = _block_bn(_bn(train, self.dtype, "bn1"), out, bottle,
+                            valid=valid)
             out = nn.relu(out)
             k2 = _ConvKernel((3, 3, bottle, bottle), name="conv2")()
             out = _wblock_conv(out, k2, 2, 2, 1, self.dtype)  # plain
@@ -244,7 +252,7 @@ class Bottleneck(nn.Module):
             out = nn.Conv(bottle, (1, 1), use_bias=False,
                           kernel_init=he_normal_conv_init,
                           dtype=self.dtype, name="conv1")(x)
-            out = _bn(train, self.dtype, "bn1")(out)
+            out = _bn(train, self.dtype, "bn1")(out, mask=bn_mask(valid, out.ndim))
             out = nn.relu(out)
             out = nn.Conv(
                 bottle, (3, 3), strides=(self.strides, self.strides),
@@ -253,12 +261,12 @@ class Bottleneck(nn.Module):
                 use_bias=False, kernel_init=he_normal_conv_init,
                 dtype=self.dtype, name="conv2",
             )(out)
-        out = _bn(train, self.dtype, "bn2")(out)
+        out = _bn(train, self.dtype, "bn2")(out, mask=bn_mask(valid, out.ndim))
         out = nn.relu(out)
         out = nn.Conv(self.features, (1, 1), use_bias=False,
                       kernel_init=he_normal_conv_init,
                       dtype=self.dtype, name="conv3")(out)
-        out = _bn(train, self.dtype, "bn3")(out)
+        out = _bn(train, self.dtype, "bn3")(out, mask=bn_mask(valid, out.ndim))
         return nn.relu(out + residual)
 
 
@@ -271,12 +279,12 @@ class Root(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, *children, train: bool = False):
+    def __call__(self, *children, train: bool = False, valid=None):
         x = jnp.concatenate(children, axis=-1)
         x = nn.Conv(self.features, (1, 1), use_bias=False,
                     kernel_init=he_normal_conv_init,
                     dtype=self.dtype, name="conv")(x)
-        x = _bn(train, self.dtype, "bn")(x)
+        x = _bn(train, self.dtype, "bn")(x, mask=bn_mask(valid, x.ndim))
         if self.residual:
             x = x + children[0]
         return nn.relu(x)
@@ -352,7 +360,8 @@ class Tree(nn.Module):
                 name="project_bn",
             )
 
-    def __call__(self, x, residual=None, children=None, train: bool = False):
+    def __call__(self, x, residual=None, children=None,
+                 train: bool = False, valid=None):
         children = [] if children is None else children
         if self.s2d_entry:
             assert self.strides == 2 and self.levels == 1
@@ -370,18 +379,19 @@ class Tree(nn.Module):
             bottom = x
         if self.project_bn_def:
             residual = self.project_bn(
-                self.project_conv(bottom), use_running_average=not train
+                self.project_conv(bottom), use_running_average=not train,
+                mask=bn_mask(valid, bottom.ndim),
             )
         else:
             residual = bottom
         if self.level_root:
             children.append(bottom)
-        x1 = self.tree1(x, residual=residual, train=train)
+        x1 = self.tree1(x, residual=residual, train=train, valid=valid)
         if self.levels == 1:
-            x2 = self.tree2(x1, train=train)
-            return self.root(x2, x1, *children, train=train)
+            x2 = self.tree2(x1, train=train, valid=valid)
+            return self.root(x2, x1, *children, train=train, valid=valid)
         children.append(x1)
-        return self.tree2(x1, children=children, train=train)
+        return self.tree2(x1, children=children, train=train, valid=valid)
 
 
 # (block, per-level depths, per-level channels, residual_root) — reference
@@ -404,13 +414,13 @@ class MultiLevelConv(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid=None):
         for i in range(self.num_levels):
             x = ConvBnRelu(
                 self.features, kernel_size=3,
                 strides=self.strides if i == 0 else 1,
                 dtype=self.dtype, name=f"block{i}",
-            )(x, train=train)
+            )(x, train=train, valid=valid)
         return x
 
 
@@ -432,7 +442,8 @@ class DLA(nn.Module):
         return ARCH_SETTINGS[self.num_layers][2]
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 valid=None) -> Tuple[jnp.ndarray, ...]:
         block, levels, channels, residual_root = ARCH_SETTINGS[self.num_layers]
 
         outputs = []
@@ -446,28 +457,29 @@ class DLA(nn.Module):
             xb = w_space_to_depth(x, 4)                 # pure reshape
             xb = _wblock_conv(xb, k1, 4, 1, 3, self.dtype)
             xb = _block_bn(_bn(train, self.dtype, "base_bn"), xb,
-                           channels[0])
+                           channels[0], valid=valid)
             xb = nn.relu(xb)
             xb = _S2DStemLevel(channels[0], channels[0], dtype=self.dtype,
-                               name="level0")(xb, train=train)
+                               name="level0")(xb, train=train, valid=valid)
             outputs.append(w_depth_to_space(xb, 4))     # level0, stride 1
             xb = _S2DStemLevel(channels[1], channels[0], strides=2,
                                dtype=self.dtype, name="level1")(
-                                   xb, train=train)     # W-b2 of stride-2
+                                   xb, train=train, valid=valid)  # W-b2 of s2
             x = w_depth_to_space(xb, 2)                 # level1, stride 2
             outputs.append(x)
         else:
             x = nn.Conv(channels[0], (7, 7), padding=[(3, 3), (3, 3)],
                         use_bias=False, kernel_init=he_normal_conv_init,
                         dtype=self.dtype, name="base_conv")(x)
-            x = _bn(train, self.dtype, "base_bn")(x)
+            x = _bn(train, self.dtype, "base_bn")(x, mask=bn_mask(valid, x.ndim))
             x = nn.relu(x)
 
             x = MultiLevelConv(channels[0], levels[0], dtype=self.dtype,
-                               name="level0")(x, train=train)
+                               name="level0")(x, train=train, valid=valid)
             outputs.append(x)
             x = MultiLevelConv(channels[1], levels[1], strides=2,
-                               dtype=self.dtype, name="level1")(x, train=train)
+                               dtype=self.dtype, name="level1")(x, train=train,
+                                                                valid=valid)
             outputs.append(x)
         for i, (lvl, ch) in enumerate(zip(levels[2:], channels[2:]), start=2):
             s2d_entry = i == 2 and use_s2d and lvl == 1
@@ -476,6 +488,6 @@ class DLA(nn.Module):
                 features=ch, strides=2, level_root=(i != 2),
                 root_residual=residual_root, s2d_entry=s2d_entry,
                 dtype=self.dtype, name=f"level{i}",
-            )(xb if s2d_entry else x, train=train)
+            )(xb if s2d_entry else x, train=train, valid=valid)
             outputs.append(x)
         return tuple(outputs)

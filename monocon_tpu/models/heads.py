@@ -41,12 +41,14 @@ class HeadBranch(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 valid=None) -> jnp.ndarray:
         kinit = small_normal_init if self.small_init else nn.initializers.kaiming_normal()
         x = nn.Conv(self.feat_ch, (3, 3), padding=[(1, 1), (1, 1)],
                     kernel_init=kinit, dtype=self.dtype, name="conv1")(x)
         x = AttnBatchNorm(self.feat_ch, num_affine=10, momentum=0.03,
-                          eps=1e-3, dtype=self.dtype, name="norm")(x, train=train)
+                          eps=1e-3, dtype=self.dtype, name="norm")(
+            x, train=train, valid=valid)
         x = nn.relu(x)
         x = nn.Conv(
             self.out_ch, (1, 1),
@@ -66,13 +68,13 @@ class DirBranch(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid=None):
         feat = nn.Conv(self.feat_ch, (3, 3), padding=[(1, 1), (1, 1)],
                        kernel_init=small_normal_init, dtype=self.dtype,
                        name="feat_conv")(x)
         feat = AttnBatchNorm(self.feat_ch, num_affine=10, momentum=0.03,
                              eps=1e-3, dtype=self.dtype, name="feat_norm")(
-            feat, train=train)
+            feat, train=train, valid=valid)
         feat = nn.relu(feat)
         cls = nn.Conv(self.num_bins, (1, 1), kernel_init=small_normal_init,
                       dtype=self.dtype, name="cls_conv")(feat)
@@ -98,7 +100,8 @@ class MonoConHeads(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, feat: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+    def __call__(self, feat: jnp.ndarray, train: bool = False,
+                 valid=None) -> Dict[str, jnp.ndarray]:
         # Heatmap prior bias: -log((1-p)/p), p=0.1 (monocon_heads.py:134-137).
         prior_bias = float(-math.log((1 - 0.1) / 0.1))
         mk = lambda out_ch, name, bias=0.0: HeadBranch(
@@ -106,17 +109,17 @@ class MonoConHeads(nn.Module):
             name=name,
         )
 
-        center_heatmap = mk(self.num_classes, "heatmap", prior_bias)(feat, train)
-        kpt_heatmap = mk(self.num_kpts, "kpt_heatmap", prior_bias)(feat, train)
-        wh = mk(2, "wh")(feat, train)
-        offset = mk(2, "offset")(feat, train)
-        kpt_heatmap_offset = mk(2, "kpt_heatmap_offset")(feat, train)
-        center2kpt_offset = mk(self.num_kpts * 2, "center2kpt_offset")(feat, train)
-        dim = mk(3, "dim")(feat, train)
-        depth = mk(2, "depth")(feat, train)
+        center_heatmap = mk(self.num_classes, "heatmap", prior_bias)(feat, train, valid=valid)
+        kpt_heatmap = mk(self.num_kpts, "kpt_heatmap", prior_bias)(feat, train, valid=valid)
+        wh = mk(2, "wh")(feat, train, valid=valid)
+        offset = mk(2, "offset")(feat, train, valid=valid)
+        kpt_heatmap_offset = mk(2, "kpt_heatmap_offset")(feat, train, valid=valid)
+        center2kpt_offset = mk(self.num_kpts * 2, "center2kpt_offset")(feat, train, valid=valid)
+        dim = mk(3, "dim")(feat, train, valid=valid)
+        depth = mk(2, "depth")(feat, train, valid=valid)
         alpha_cls, alpha_offset = DirBranch(
             self.feat_ch, self.num_alpha_bins, dtype=self.dtype, name="dir"
-        )(feat, train)
+        )(feat, train, valid=valid)
 
         # Prediction post-ops (reference _get_predictions,
         # monocon_heads.py:165-200), in float32 for numerical parity.

@@ -25,6 +25,20 @@ BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
 
+def bn_mask(valid: Optional[jnp.ndarray], ndim: int) -> Optional[jnp.ndarray]:
+    """(B,) 0/1 sample-validity -> BN batch-stat mask broadcastable to an
+    ``ndim``-rank activation, or None when all rows are real.
+
+    Batches padded to a static size (DataLoader.pad_to_batch) repeat
+    samples; losses mask them exactly, and this mask keeps them out of the
+    BatchNorm batch moments too (flax computes ``mean(..., where=mask)``),
+    so train numerics match the reference's smaller final batch
+    (engine/monocon_engine.py:58-72) instead of seeing repeated rows."""
+    if valid is None:
+        return None
+    return valid.astype(bool).reshape(valid.shape + (1,) * (ndim - 1))
+
+
 def he_normal_conv_init(key, shape, dtype=jnp.float32):
     """Reference conv init: N(0, sqrt(2 / (kh*kw*out_ch)))
     (model/backbone/dla.py:264-269, dla_neck.py:74-80)."""
@@ -45,7 +59,8 @@ class ConvBnRelu(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         pad = self.dilation * (self.kernel_size // 2)
         x = nn.Conv(
             self.features,
@@ -64,7 +79,7 @@ class ConvBnRelu(nn.Module):
             epsilon=BN_EPS,
             dtype=self.dtype,
             name="bn",
-        )(x)
+        )(x, mask=bn_mask(valid, x.ndim))
         return nn.relu(x)
 
 
@@ -86,7 +101,8 @@ class AttnWeights(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         # RSD pooling over H, W. torch.var_mean uses the unbiased estimator.
         # One-pass moments: jnp.var's two-pass form materializes the centered
         # tensor in f32 (measured 1.7 ms per head at (16,96,320,64) on a v5e
@@ -119,7 +135,7 @@ class AttnWeights(nn.Module):
             epsilon=BN_EPS,
             dtype=self.dtype,
             name="bn",
-        )(y)
+        )(y, mask=bn_mask(valid, y.ndim))
         y = hsigmoid_v2(y)
         return y.reshape(y.shape[0], self.num_affine)
 
@@ -140,7 +156,8 @@ class AttnBatchNorm(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         normed = nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.momentum,
@@ -149,10 +166,10 @@ class AttnBatchNorm(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             name="bn",
-        )(x)
+        )(x, mask=bn_mask(valid, x.ndim))
 
         y = AttnWeights(self.num_affine, dtype=self.dtype, name="attn")(
-            x, train=train
+            x, train=train, valid=valid
         )                                                       # (B, K)
 
         weight_ = self.param(

@@ -77,18 +77,21 @@ class IDAUp(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, layers: List[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
+    def __call__(self, layers: List[jnp.ndarray], train: bool = False,
+                 valid=None) -> List[jnp.ndarray]:
         assert len(layers) == len(self.in_features_list)
         outs = list(layers)
         for i in range(1, len(outs)):
             proj = ConvBnRelu(self.features, kernel_size=3, dtype=self.dtype,
-                              name=f"proj_{i}")(outs[i], train=train)
+                              name=f"proj_{i}")(outs[i], train=train,
+                                                valid=valid)
             up = DepthwiseUpsample(self.features, int(self.up_factors_list[i]),
                                    dtype=self.dtype, name=f"up_{i}")(proj)
             outs[i] = ConvBnRelu(
                 self.features, kernel_size=3, dtype=self.dtype,
                 name=f"node_{i}",
-            )(jnp.concatenate([outs[i - 1], up], axis=-1), train=train)
+            )(jnp.concatenate([outs[i - 1], up], axis=-1), train=train,
+              valid=valid)
         return outs
 
 
@@ -103,7 +106,8 @@ class DLAUp(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False) -> jnp.ndarray:
+    def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False,
+                 valid=None) -> jnp.ndarray:
         layers = list(layers[self.start_level:])
         channels = list(self.in_features_list)
         scales = list(self.scales_list)
@@ -117,7 +121,7 @@ class DLAUp(nn.Module):
                 dtype=self.dtype,
                 name=f"ida_{i}",
             )
-            layers[j:] = ida(layers[j:], train=train)
+            layers[j:] = ida(layers[j:], train=train, valid=valid)
             scales[j + 1:] = [scales[j]] * len(scales[j + 1:])
             channels[j + 1:] = [channels[j]] * len(channels[j + 1:])
         return layers[-1]

@@ -185,3 +185,51 @@ def test_eval_rows_exact_under_padding(tiny):
             np.asarray(out_pad[k])[:2], np.asarray(out_small[k]),
             rtol=1e-5, atol=1e-5, err_msg=k,
         )
+
+
+def test_padded_batch_stats_match_unpadded(tiny):
+    """VERDICT r2 #5: train-mode BatchNorm batch statistics must not see
+    the repeated padded rows. One full train step on the padded batch
+    (valid=[1,1,1,0,0]) vs the unpadded 3-row batch: equal losses AND
+    equal new batch_stats. The masked moments are exact in real
+    arithmetic; the observed residual is float32 reduction-order noise
+    (where-mean over 5 rows vs plain mean over 3 — measured max ~1.5e-5
+    at the deepest level-5 var after 30+ BN layers)."""
+    hw = tiny.hw
+    model, variables = create_detector_state(
+        jax.random.PRNGKey(0), image_hw=hw
+    )
+    optimizer = build_optimizer(total_steps=10)
+    step = jax.jit(make_train_step(model, optimizer))
+
+    small = collate([tiny[i] for i in range(3)], hw)
+    padded = collate([tiny[i] for i in [0, 1, 2, 0, 1]], hw)
+
+    def run(batch, valid=None):
+        state = create_train_state(variables, optimizer)
+        step_in = {
+            "img": jnp.asarray(batch["img"]),
+            "label": {k: jnp.asarray(v) for k, v in batch["label"].items()},
+        }
+        if valid is not None:
+            step_in["valid"] = jnp.asarray(valid)
+        new_state, losses = step(state, step_in)
+        return new_state, losses
+
+    s_small, l_small = run(small)
+    s_pad, l_pad = run(padded, valid=[1.0, 1.0, 1.0, 0.0, 0.0])
+
+    for k in l_small:
+        np.testing.assert_allclose(
+            np.asarray(l_pad[k]), np.asarray(l_small[k]), rtol=1e-5,
+            atol=1e-7, err_msg=f"loss {k}",
+        )
+    flat_small = jax.tree_util.tree_leaves_with_path(s_small.batch_stats)
+    flat_pad = {jax.tree_util.keystr(p): v
+                for p, v in jax.tree_util.tree_leaves_with_path(s_pad.batch_stats)}
+    for path, leaf in flat_small:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(flat_pad[key]), np.asarray(leaf), rtol=1e-4,
+            atol=1e-4, err_msg=f"batch_stats {key}",
+        )
