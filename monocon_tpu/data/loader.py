@@ -55,8 +55,18 @@ def collate(samples: List[Dict[str, Any]],
             metas.setdefault(k, []).append(v)
     metas["pad_shape"] = [pad_hw] * b
 
+    # Per-sample true pixel extent (pre zero-fill), consumed by the jitted
+    # program to zero the padded border after on-device normalization so
+    # uint8 transport matches float32 transport bit-for-bit.
+    img_hw = np.array(
+        [s["img_metas"].get("unpadded_shape", s["img"].shape[:2])
+         for s in samples],
+        np.int32,
+    )
+
     batch: Dict[str, Any] = {
         "img": images,
+        "img_hw": img_hw,
         "img_metas": metas,
         "calib": [s["calib"] for s in samples],
         "p2": np.stack([s["calib"].P2 for s in samples]).astype(np.float32),
@@ -94,11 +104,10 @@ class DataLoader:
         cyclically repeating its samples, with ``batch['valid']`` (B,) 0/1
         and ``batch['num_valid']`` marking the real rows — every batch then
         has one static shape, so jitted programs compile exactly once.
-        Losses must weight by ``valid`` (see engine.train_step); note that
-        train-mode BatchNorm statistics on a padded batch include the
-        repeated rows (a bounded divergence from the reference's smaller
-        final batch; KITTI train 3712 divides the default batch sizes, so
-        the headline config never pads)."""
+        Losses weight by ``valid`` (engine.train_step) and BatchNorm batch
+        statistics mask it (models.layers.bn_mask), so a padded batch is
+        numerically identical to the reference's smaller final batch
+        (engine/monocon_engine.py:58-72)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

@@ -429,6 +429,10 @@ class Pad:
         canvas[:h, :w] = img
         sample["img"] = canvas
         sample["img_metas"]["pad_shape"] = (ph, pw)
+        # True pixel extent before zero-fill: the uint8 transport zeroes
+        # the border on device after normalizing (ops.image_norm), making
+        # it bit-identical to the float32 transport's post-Normalize 0.0.
+        sample["img_metas"]["unpadded_shape"] = (h, w)
         return sample
 
 
@@ -438,12 +442,16 @@ class QuantizeU8:
     (``ops.image_norm.normalize_if_raw``).
 
     Divergence from the reference (documented): the reference normalizes
-    the *float* output of PhotometricDistortion on the host
-    (default_transforms.py:376-407); quantizing first perturbs each pixel
-    by at most 0.5/57.4 ~ 0.009 normalized units. Use
-    ``TPU.IMAGE_TRANSPORT: float32`` for bit-faithful input numerics.
-    For the un-augmented eval pipeline pixels are already integral, so
-    the uint8 path is exact there."""
+    the *float* output of PhotometricDistortion on the host WITHOUT
+    clipping (default_transforms.py:77-180 can push pixels to roughly
+    [-110, 430]: brightness ±32 then contrast ×1.5), and those
+    out-of-range values survive into the normalized tensor. Quantizing
+    clamps them to [0, 255] — a distribution change on saturated pixels
+    (up to ~3 normalized units), not just ±0.5/57.4 rounding. Use
+    ``TPU.IMAGE_TRANSPORT: float32`` for bit-faithful augmented input
+    numerics. For the un-augmented eval pipeline pixels are already
+    integral uint8, so the uint8 path is exact there (including the
+    padded border — see ``ops.image_norm.normalize_if_raw``)."""
 
     def __call__(self, sample: Dict, rng) -> Dict:
         img = sample["img"]

@@ -52,8 +52,8 @@ def main():
     variables = load_weights_auto(args.checkpoint_file, variables)
 
     @jax.jit
-    def forward(variables, image, p2):
-        image = normalize_if_raw(image)
+    def forward(variables, image, p2, img_hw):
+        image = normalize_if_raw(image, img_hw)
         pad_hw = (image.shape[1], image.shape[2])
         pred = model.apply(variables, image, train=False)
         return decode_predictions(pred, p2, pad_hw)
@@ -62,7 +62,10 @@ def main():
     for idx in range(len(dataset)):
         sample = dataset[idx]
         p2 = jnp.asarray(sample["calib"][0].P2[None].astype(np.float32))
-        decoded = forward(variables, jnp.asarray(sample["img"]), p2)
+        img_hw = jnp.asarray(
+            np.array([sample["img_metas"]["unpadded_shape"]], np.int32)
+        )
+        decoded = forward(variables, jnp.asarray(sample["img"]), p2, img_hw)
         per_image = split_batch_detections(
             {k: np.asarray(v) for k, v in decoded.items()},
             args.score_threshold,

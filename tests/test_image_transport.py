@@ -133,3 +133,41 @@ def test_train_step_equal_under_uint8_transport():
         losses[name] = {k: float(v) for k, v in metrics.items()}
 
     assert losses["uint8"] == pytest.approx(losses["float32"], rel=1e-6)
+
+
+def _calib_stub():
+    return type("C", (), {"P2": np.eye(3, 4, dtype=np.float32)})()
+
+
+def test_non_multiple_image_border_matches_float32_transport():
+    """KITTI-style non-/32 image (e.g. 375x1242 -> 384x1248): the float32
+    transport normalizes BEFORE zero-padding, so its border is exactly 0.0;
+    the uint8 transport must reproduce that via the img_hw border mask in
+    normalize_if_raw (raw-zero pixels would otherwise normalize to
+    ~(-2.12, -2.04, -1.80)). Whole pipeline: transforms -> collate ->
+    on-device normalize, bit-for-bit equality."""
+    rng = np.random.default_rng(5)
+    h, w = 47, 94  # pads to (64, 96); both dims have a real border
+    img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+    def run(device_normalize):
+        s = {"img": img.copy(), "img_metas": {}, "calib": _calib_stub(),
+             "label": None}
+        for t in default_test_transforms(device_normalize=device_normalize):
+            s = t(s, None)
+        return collate([s], pad_hw=(64, 128))
+
+    b_u8 = run(True)
+    b_f32 = run(False)
+    assert b_u8["img"].dtype == np.uint8
+    assert b_u8["img_hw"].tolist() == [[h, w]]
+    dev = np.asarray(
+        normalize_if_raw(jnp.asarray(b_u8["img"]), jnp.asarray(b_u8["img_hw"]))
+    )
+    np.testing.assert_array_equal(dev, b_f32["img"])
+    # the border really is the mean pixel (0.0), not a raw-zero artifact
+    assert np.all(dev[0, h:] == 0.0) and np.all(dev[0, :, w:] == 0.0)
+    # and without the mask the border would differ (guards against the test
+    # silently passing if Pad stops zero-filling)
+    unmasked = np.asarray(normalize_if_raw(jnp.asarray(b_u8["img"])))
+    assert np.abs(unmasked[0, h:]).max() > 1.5
