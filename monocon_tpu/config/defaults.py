@@ -122,18 +122,26 @@ _DEFAULTS: Dict[str, Any] = {
         # epochs); useful on preemptible TPU pools.
         "CKPT_PERIOD_STEPS": 0,
     },
-    # TPU-native knobs (additive over the reference key tree).
+    # TPU-native knobs (additive over the reference key tree). Every key
+    # here must be consumed somewhere (tests/test_config_audit.py); note
+    # BatchNorm statistics are cross-replica by construction — the SPMD
+    # train step computes batch moments over the global batch and XLA
+    # inserts the collectives — so there is no sync-BN switch.
     "TPU": {
         "COMPUTE_DTYPE": "float32",  # 'bfloat16' for max MXU throughput
-        "DATA_AXIS": "data",          # mesh axis name for data parallelism
-        "NUM_DEVICES": -1,            # -1: all local devices
+        "NUM_DEVICES": -1,            # -1: all (global) devices
+        # Join a jax.distributed cluster at engine start (multi-host DCN
+        # scaling; see parallel/distributed.py for the env contract).
+        "MULTIHOST": False,
         "PREFETCH_BATCHES": 2,        # host->device prefetch depth
         "PAD_HW": [384, 1248],        # static batch canvas (null: per-batch)
-        "SYNC_BATCH_NORM": True,      # cross-replica BN statistics under dp
         # 'uint8': ship raw pixels, normalize on device (4x fewer H2D
-        # bytes; exact for eval, quantizes augmented train pixels by
-        # <=0.009 normalized units). 'float32': host-normalized, the
-        # reference's exact input numerics.
+        # bytes; exact for eval incl. the padded border). For augmented
+        # train pixels it CLIPS photometric out-of-range values to
+        # [0, 255] before rounding — a distribution change on saturated
+        # pixels vs the reference, which normalizes the unclipped float
+        # (see data/transforms.py QuantizeU8). 'float32':
+        # host-normalized, the reference's exact input numerics.
         "IMAGE_TRANSPORT": "uint8",
     },
 }

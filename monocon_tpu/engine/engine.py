@@ -74,6 +74,16 @@ class MonoConEngine:
         self.entire_losses: List[float] = []
         self.epoch_times: List[float] = []
 
+        # Multi-host (DCN): join the jax.distributed cluster before any
+        # device use so jax.devices() is the GLOBAL device list (parallel/
+        # distributed.py; env contract JAX_COORDINATOR_ADDRESS/
+        # JAX_NUM_PROCESSES/JAX_PROCESS_ID, autodetected on real pods).
+        self.process_id = 0
+        if cfg.TPU.get("MULTIHOST", False):
+            from ..parallel.distributed import initialize_multihost
+
+            self.process_id = initialize_multihost()
+
         # Mesh over the data axis (single device degenerates gracefully).
         # Clamp to the largest device count dividing the batch size so the
         # batch axis shards evenly.
@@ -213,8 +223,10 @@ class MonoConEngine:
         )
         return dataset, loader
 
-    def _eval_forward(self, variables, image, p2):
-        image = normalize_if_raw(image)  # uint8 transport -> f32 in-jit
+    def _eval_forward(self, variables, image, p2, img_hw=None):
+        # uint8 transport -> f32 in-jit; img_hw zeroes the padded border
+        # so it matches the float32 transport's post-Normalize 0.0.
+        image = normalize_if_raw(image, img_hw)
         pad_hw = (image.shape[1], image.shape[2])
         pred = self.model.apply(variables, image, train=False)
         return decode_predictions(pred, p2, pad_hw)
@@ -240,8 +252,12 @@ class MonoConEngine:
         img = batch["img"]
         if isinstance(img, jax.Array):
             return batch
+        img_hw = batch.get("img_hw")
+        if img_hw is None:  # ad-hoc batch: full extent, mask is a no-op
+            img_hw = np.tile(np.int32(img.shape[1:3]), (img.shape[0], 1))
         dev = {
             "img": jnp.asarray(img),
+            "img_hw": jnp.asarray(img_hw),
             "label": {k: jnp.asarray(v) for k, v in batch["label"].items()},
         }
         if "valid" in batch:
@@ -261,7 +277,13 @@ class MonoConEngine:
         img = batch["img"]
         if isinstance(img, jax.Array):
             return batch
-        dev = {"img": jnp.asarray(img), "p2": jnp.asarray(batch["p2"])}
+        # Ad-hoc batches without collate's img_hw get the full canvas
+        # extent (mask becomes a no-op).
+        img_hw = batch.get("img_hw")
+        if img_hw is None:
+            img_hw = np.tile(np.int32(img.shape[1:3]), (img.shape[0], 1))
+        dev = {"img": jnp.asarray(img), "p2": jnp.asarray(batch["p2"]),
+               "img_hw": jnp.asarray(img_hw)}
         if img.shape[0] % self.num_devices == 0 and self.num_devices > 1:
             dev = shard_batch(dev, self.mesh)
         out = dict(batch)
@@ -274,7 +296,8 @@ class MonoConEngine:
         steps = len(self.train_loader)
         for batch_idx, batch in enumerate(self.train_loader):
             dev = self._device_batch(batch)
-            step_in = {"img": dev["img"], "label": dev["label"]}
+            step_in = {"img": dev["img"], "img_hw": dev["img_hw"],
+                       "label": dev["label"]}
             if "valid" in dev:
                 step_in["valid"] = dev["valid"]
             with self.mesh:
@@ -403,7 +426,9 @@ class MonoConEngine:
         if not isinstance(batch["img"], jax.Array):
             batch = self._device_eval_batch(batch)
         with self.mesh:
-            return self._eval_fn(variables, batch["img"], batch["p2"])
+            return self._eval_fn(
+                variables, batch["img"], batch["p2"], batch["img_hw"]
+            )
 
     def _collect_eval(self, decoded, batch, container) -> None:
         decoded = {k: np.asarray(v) for k, v in decoded.items()}
@@ -457,9 +482,16 @@ class MonoConEngine:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, final: bool = False) -> str:
+        # Materialize any still-async device loss scalars so the history
+        # persists as host floats (reference base_engine.py:155-189 pickles
+        # entire_losses/epoch_times; we keep them in meta.json so the
+        # 100-step moving average and ETA survive preemption).
+        self.entire_losses = [float(v) for v in self.entire_losses]
         path = save_checkpoint(
             self.weight_dir, self.state, self.epochs, self.global_iters,
             final=final,
+            extra={"entire_losses": self.entire_losses,
+                   "epoch_times": list(self.epoch_times)},
         )
         tprint(f"Checkpoint saved to '{path}'.")
         return path
@@ -482,3 +514,7 @@ class MonoConEngine:
         self.state = replicate_state(self.state, self.mesh)
         self.epochs = int(meta.get("epoch", 0)) + 1
         self.global_iters = int(meta.get("global_iters", 1))
+        # Restore loss/time history (reference base_engine.py:191-219) so
+        # the moving-average display and ETA continue across resume.
+        self.entire_losses = [float(v) for v in meta.get("entire_losses", [])]
+        self.epoch_times = [float(v) for v in meta.get("epoch_times", [])]

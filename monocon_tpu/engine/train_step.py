@@ -48,10 +48,10 @@ def compute_losses(
     """All ten criterions on fixed-shape (B, O) masked rows.
 
     ``sample_valid`` (B,) zeroes padded batch rows out of every loss term
-    (object rows via the mask, heatmap pixels via the focal sample weight),
-    so a batch padded to a static size yields the same loss totals as the
-    unpadded batch (modulo BatchNorm batch statistics, which still see the
-    padded rows — see DataLoader.pad_to_batch)."""
+    (object rows via the mask, heatmap pixels via the focal sample weight);
+    together with the BN batch-stat mask (models.layers.bn_mask) a batch
+    padded to a static size yields exactly the same losses and the same
+    new ``batch_stats`` as the unpadded batch."""
     indices = target["indices"]                    # (B, O)
     indices_kpt = target["indices_kpt"]            # (B, O*K)
     mask = target["mask_target"].astype(jnp.float32)  # (B, O)
@@ -150,7 +150,9 @@ def make_train_step(
     """
 
     def train_step(state: TrainState, batch: Dict[str, Any]):
-        img = normalize_if_raw(batch["img"])  # uint8 transport -> f32
+        # uint8 transport -> f32; img_hw zeroes the padded border to match
+        # the float32 transport's post-Normalize 0.0 fill.
+        img = normalize_if_raw(batch["img"], batch.get("img_hw"))
         valid = batch.get("valid")  # (B,) 0/1 for padded remainder batches
         pad_hw = (img.shape[1], img.shape[2])
         feat_hw = (pad_hw[0] // feat_stride, pad_hw[1] // feat_stride)
@@ -161,6 +163,9 @@ def make_train_step(
                 {"params": params, "batch_stats": state.batch_stats},
                 img,
                 train=True,
+                # padded remainder rows stay out of BN batch statistics
+                # (masked moments, exact) — see models.layers.bn_mask
+                valid=valid,
                 mutable=["batch_stats"],
             )
             losses = compute_losses(pred, target, sample_valid=valid)

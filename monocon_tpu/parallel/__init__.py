@@ -1,3 +1,4 @@
+from .distributed import initialize_multihost, shard_global_batch
 from .mesh import (
     DATA_AXIS,
     batch_sharding,
@@ -10,8 +11,10 @@ from .mesh import (
 __all__ = [
     "DATA_AXIS",
     "batch_sharding",
+    "initialize_multihost",
     "make_mesh",
     "replicate_state",
     "replicated",
     "shard_batch",
+    "shard_global_batch",
 ]

@@ -40,11 +40,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch onto the mesh, batch-axis sharded."""
+    """Place a host batch onto the mesh, batch-axis sharded.
+
+    Multi-host meshes route through
+    ``parallel.distributed.shard_global_batch`` (each process feeds only
+    the rows its local devices own)."""
+    if jax.process_count() > 1:
+        from .distributed import shard_global_batch
+
+        return shard_global_batch(batch, mesh)
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate_state(state, mesh: Mesh):
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        # Cross-host replication: every process holds identical values
+        # (deterministic init / restored checkpoint); hand jax the local
+        # copy per addressable shard.
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx]
+            )
+
+        return jax.tree.map(put, state)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), state)

@@ -64,3 +64,41 @@ def device_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def device_op_seconds(log_dir: str) -> float:
+    """Total device-lane XLA-op seconds in the newest trace under
+    ``log_dir`` — the honest per-step denominator on this tunneled
+    platform, where wall-clock varies ±50% (see CLAUDE.md). Used by
+    bench.py and scripts/profile_forward.py."""
+    import glob
+    import gzip
+    import json
+    import os
+
+    paths = glob.glob(
+        os.path.join(log_dir, "plugins/profile/*/*.trace.json.gz")
+    )
+    if not paths:
+        raise FileNotFoundError(f"no trace under {log_dir}")
+    with gzip.open(max(paths, key=os.path.getmtime), "rt") as f:
+        events = json.load(f)["traceEvents"]
+
+    pid_names, tid_names = {}, {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    device_pids = {
+        pid for pid, name in pid_names.items()
+        if "TPU" in name or "/device" in name.lower()
+    }
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        if "XLA Ops" not in tid_names.get((e["pid"], e["tid"]), ""):
+            continue
+        total += e.get("dur", 0) / 1e6  # us -> s
+    return total

@@ -71,6 +71,11 @@ def test_train_eval_resume_cycle(env, capsys):
         float(np.asarray(engine2.state.step)),
         float(np.asarray(engine.state.step)),
     )
+    # Loss/time history restores with the checkpoint (reference
+    # base_engine.py:191-219): the 100-step moving average and the ETA
+    # continue across preemption instead of resetting.
+    assert engine2.entire_losses == engine.entire_losses
+    assert engine2.epoch_times == pytest.approx(engine.epoch_times)
 
 
 def test_visualize(env, tmp_path):
