@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--dtype", default="float32",
                     help="'bfloat16' validates the recommended "
                          "mixed-precision training config at AP level")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (init + shuffle + augmentation); "
+                         "the dataset itself stays fixed for comparability "
+                         "across the seed-variance study")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -57,7 +61,7 @@ def main() -> int:
     cfg.SOLVER.OPTIM.NUM_EPOCHS = args.epochs
     cfg.PERIOD.EVAL_PERIOD = -1   # we evaluate once at the end
     cfg.PERIOD.LOG_PERIOD = 10
-    cfg.SEED = 0
+    cfg.SEED = args.seed
     cfg.TPU.PAD_HW = [192, 640]
     cfg.DATA.CROP_HW = [160, 512]
     cfg.DATA.AUGMENT = bool(args.augment)

@@ -19,6 +19,20 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The image's site hook re-exports JAX_PLATFORMS=axon at interpreter
+# startup, so the parent's env is not enough — force the virtual CPU
+# platform through jax.config BEFORE any backend use (same dance as
+# tests/conftest.py).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4"
+    ).strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from monocon_tpu.parallel import initialize_multihost  # noqa: E402
 
 
