@@ -298,7 +298,13 @@ class MonoConEngine:
             dev = self._device_batch(batch)
             step_in = {"img": dev["img"], "img_hw": dev["img_hw"],
                        "label": dev["label"]}
-            if "valid" in dev:
+            # Pass the validity mask only when the batch actually has
+            # padded rows: full batches take the plain program (the
+            # masked-BN variant measures ~3% slower), remainder batches
+            # the masked one — at most two compiles per run, and zero
+            # when the dataset divides the batch size (KITTI 3712 does).
+            if "valid" in dev and batch.get("num_valid", 0) < len(
+                    np.asarray(batch["valid"])):
                 step_in["valid"] = dev["valid"]
             with self.mesh:
                 self.state, losses = self._train_step(self.state, step_in)

@@ -10,6 +10,11 @@ Usage:
   python scripts/map_fusions.py fusion.51 fusion.74 copy.119 ...
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 from monocon_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()
