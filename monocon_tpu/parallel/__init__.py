@@ -1,7 +1,9 @@
 from .distributed import initialize_multihost, shard_global_batch
 from .mesh import (
     DATA_AXIS,
+    SPACE_AXIS,
     batch_sharding,
+    image_sharding,
     make_mesh,
     replicate_state,
     replicated,
@@ -10,7 +12,9 @@ from .mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "SPACE_AXIS",
     "batch_sharding",
+    "image_sharding",
     "initialize_multihost",
     "make_mesh",
     "replicate_state",

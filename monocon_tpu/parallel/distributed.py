@@ -22,7 +22,7 @@ from typing import Any, Dict, Optional
 import jax
 from jax.sharding import Mesh
 
-from .mesh import batch_sharding
+from .mesh import batch_sharding, image_sharding
 
 
 def initialize_multihost(
@@ -81,11 +81,19 @@ def shard_global_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         from .mesh import shard_batch
 
         return shard_batch(batch, mesh)
-    sharding = batch_sharding(mesh)
+    row = batch_sharding(mesh)
+    img = image_sharding(mesh)
 
-    def put(x):
-        return jax.make_array_from_callback(
-            x.shape, sharding, lambda idx: x[idx]
-        )
+    def put(sharding):
+        def place(x):
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx]
+            )
 
-    return jax.tree.map(put, batch)
+        return place
+
+    return {
+        k: (put(img)(v) if k == "img"
+            else jax.tree.map(put(row), v))
+        for k, v in batch.items()
+    }

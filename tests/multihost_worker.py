@@ -85,6 +85,19 @@ def main():
     mesh = make_mesh()  # global: 8 devices across 2 processes
     assert mesh.devices.size == 8
 
+    # Warm-up collective: establish the gloo TCP pairs while the
+    # cross-process skew is seconds. The real train-step compile takes
+    # minutes on this one-core host and the two workers can finish far
+    # apart; gloo's pair-connect timeout is shorter than that, so the
+    # first collective must happen BEFORE the big compile.
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    warm = jax.device_put(
+        np.arange(8, dtype=np.float32), NamedSharding(mesh, P("data"))
+    )
+    assert float(jnp.sum(warm)) == 28.0
+
     model, variables = create_detector_state(
         jax.random.PRNGKey(0), image_hw=pad_hw
     )
