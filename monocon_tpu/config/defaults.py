@@ -130,6 +130,18 @@ _DEFAULTS: Dict[str, Any] = {
     "TPU": {
         "COMPUTE_DTYPE": "float32",  # 'bfloat16' for max MXU throughput
         "NUM_DEVICES": -1,            # -1: all (global) devices
+        # >1: accumulate gradients over this many loader batches per
+        # optimizer step (optax.MultiSteps): the effective batch is
+        # BATCH_SIZE x GRAD_ACCUM_STEPS without the activation memory of
+        # the large batch. Clipping/schedules/AdamW see the mean gradient;
+        # BN batch stats update per microbatch.
+        "GRAD_ACCUM_STEPS": 1,
+        # >1: also split the image HEIGHT over a second mesh axis of this
+        # size (devices = data_shards x SPATIAL_SHARDS). XLA inserts the
+        # conv halo exchanges; activation memory per device drops by the
+        # spatial factor. The batch axis then only needs to divide
+        # devices/SPATIAL_SHARDS — e.g. batch 8 on 16 chips as 8x2.
+        "SPATIAL_SHARDS": 1,
         # Join a jax.distributed cluster at engine start (multi-host DCN
         # scaling; see parallel/distributed.py for the env contract).
         "MULTIHOST": False,

@@ -84,16 +84,20 @@ class MonoConEngine:
 
             self.process_id = initialize_multihost()
 
-        # Mesh over the data axis (single device degenerates gracefully).
-        # Clamp to the largest device count dividing the batch size so the
-        # batch axis shards evenly.
+        # Mesh over the data axis (single device degenerates gracefully),
+        # optionally x a spatial axis that splits image height
+        # (TPU.SPATIAL_SHARDS; parallel/mesh.py). Clamp the data axis to
+        # the largest count dividing the batch size so it shards evenly.
         n_dev = cfg.TPU.NUM_DEVICES
         available = (len(jax.devices()) if n_dev in (-1, 0, None) else n_dev)
+        spatial = max(1, int(cfg.TPU.get("SPATIAL_SHARDS", 1)))
         batch = cfg.DATA.BATCH_SIZE
-        while available > 1 and batch % available != 0:
-            available -= 1
-        self.mesh = make_mesh(available)
+        data_shards = max(1, available // spatial)
+        while data_shards > 1 and batch % data_shards != 0:
+            data_shards -= 1
+        self.mesh = make_mesh(data_shards * spatial, spatial=spatial)
         self.num_devices = self.mesh.devices.size
+        self.num_data_shards = data_shards
 
         # Data.
         self.train_dataset = self.train_loader = None
@@ -124,14 +128,19 @@ class MonoConEngine:
             )
             tprint(f"ImageNet backbone loaded from '{pretrained}'.")
         if not is_test:
-            total_steps = len(self.train_loader) * self.target_epochs
+            # Gradient accumulation (TPU.GRAD_ACCUM_STEPS > 1): every
+            # optimizer step consumes that many loader batches, so the
+            # one-cycle schedules run over optimizer steps, not batches.
+            self.grad_accum = max(1, int(cfg.TPU.get("GRAD_ACCUM_STEPS", 1)))
+            loader_steps = len(self.train_loader) * self.target_epochs
             self.optimizer = build_optimizer(
                 lr=cfg.SOLVER.OPTIM.LR,
                 weight_decay=cfg.SOLVER.OPTIM.WEIGHT_DECAY,
-                total_steps=total_steps,
+                total_steps=max(1, loader_steps // self.grad_accum),
                 use_scheduler=cfg.SOLVER.SCHEDULER.ENABLE,
                 clip_grad_norm=(cfg.SOLVER.CLIP_GRAD.MAX_NORM
                                 if cfg.SOLVER.CLIP_GRAD.ENABLE else None),
+                grad_accum=self.grad_accum,
             )
             self.state = create_train_state(variables, self.optimizer)
             self.state = replicate_state(self.state, self.mesh)
@@ -237,11 +246,14 @@ class MonoConEngine:
         """LR of the upcoming step (reference base_engine.py lr property).
 
         The optimizer chain ends in inject_hyperparams(adamw) (see
-        solver/schedule.py:89-99), whose state carries the materialized
-        schedule values."""
+        solver/schedule.py), whose state carries the materialized schedule
+        values; peek_hyperparams unwraps the MultiSteps layer when
+        gradient accumulation is on."""
         if self.optimizer is None or self.state.opt_state is None:
             return float(self.cfg.SOLVER.OPTIM.LR)
-        hp = getattr(self.state.opt_state[-1], "hyperparams", None)
+        from ..solver import peek_hyperparams
+
+        hp = peek_hyperparams(self.state.opt_state)
         if hp is None or "learning_rate" not in hp:
             return float(self.cfg.SOLVER.OPTIM.LR)
         return float(hp["learning_rate"])
@@ -263,7 +275,7 @@ class MonoConEngine:
         if "valid" in batch:
             dev["valid"] = jnp.asarray(batch["valid"])
         # pad_to_batch keeps shapes static; the guard covers ad-hoc batches.
-        if img.shape[0] % self.num_devices == 0:
+        if img.shape[0] % self.num_data_shards == 0:
             dev = shard_batch(dev, self.mesh)
         # keep host-side fields for logging/debugging consumers
         out = dict(batch)
@@ -284,7 +296,8 @@ class MonoConEngine:
             img_hw = np.tile(np.int32(img.shape[1:3]), (img.shape[0], 1))
         dev = {"img": jnp.asarray(img), "p2": jnp.asarray(batch["p2"]),
                "img_hw": jnp.asarray(img_hw)}
-        if img.shape[0] % self.num_devices == 0 and self.num_devices > 1:
+        if (img.shape[0] % self.num_data_shards == 0
+                and self.num_devices > 1):
             dev = shard_batch(dev, self.mesh)
         out = dict(batch)
         out.update(dev)
@@ -349,9 +362,11 @@ class MonoConEngine:
         print("=" * 70)
         print(f" MonoCon-TPU Engine | {self.cfg.VERSION}")
         print(f" - Description : {self.cfg.DESCRIPTION}")
+        mesh_desc = (f" [mesh {dict(self.mesh.shape)}]"
+                     if len(self.mesh.axis_names) > 1 else "")
         print(f" - Devices     : {self.num_devices} x "
               f"{jax.devices()[0].platform.upper()} "
-              f"({jax.devices()[0].device_kind})")
+              f"({jax.devices()[0].device_kind}){mesh_desc}")
         print(f" - Model       : DLA-{self.cfg.MODEL.BACKBONE.NUM_LAYERS}, "
               f"{count_params(self.state.params) / 1e6:.2f}M params")
         if self.train_dataset is not None:

@@ -73,11 +73,21 @@ def build_optimizer(
     total_steps: int = 1,
     use_scheduler: bool = True,
     clip_grad_norm: float = 35.0,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """clip_by_global_norm(35) -> AdamW(betas cycled) with one-cycle LR.
 
     Parity: reference build_solver (engine/monocon_engine.py:35-55) +
     train_one_epoch clipping (:94-102).
+
+    ``grad_accum > 1`` wraps the chain in ``optax.MultiSteps``: each
+    ``update`` call accumulates the microbatch gradient in device memory
+    and only every k-th call applies the inner chain to the *mean*
+    gradient — so clipping, the one-cycle schedules, and AdamW moments
+    all see the effective (k x batch) gradient, and the schedule count
+    advances once per optimizer step, not per microbatch.
+    ``total_steps`` is the number of OPTIMIZER steps (pass
+    loader_steps // grad_accum when accumulating).
     """
     if use_scheduler:
         lr_schedule = one_cycle_schedule(lr, total_steps)
@@ -96,4 +106,21 @@ def build_optimizer(
     if clip_grad_norm is not None and clip_grad_norm > 0:
         transforms.append(optax.clip_by_global_norm(clip_grad_norm))
     transforms.append(adamw)
-    return optax.chain(*transforms)
+    chain = optax.chain(*transforms)
+    if grad_accum > 1:
+        return optax.MultiSteps(
+            chain, every_k_schedule=grad_accum
+        ).gradient_transformation()
+    return chain
+
+
+def peek_hyperparams(opt_state):
+    """The materialized schedule values (lr/b1) of the upcoming step.
+
+    The chain ends in ``inject_hyperparams(adamw)`` whose state carries
+    them; under ``MultiSteps`` the chain state lives one level down in
+    ``inner_opt_state``. Returns the hyperparams dict or None."""
+    inner = getattr(opt_state, "inner_opt_state", opt_state)
+    if not isinstance(inner, (tuple, list)) or not inner:
+        return None
+    return getattr(inner[-1], "hyperparams", None)
