@@ -25,10 +25,12 @@ import time
 import numpy as np
 
 PAD_HW = (384, 1280)
-# Measured batch sweep on one v5e (bf16, fps/chip): 16 -> 552, 32 -> 590,
-# 64 -> 622, 128 -> 968, 256 -> 907. Large batches let XLA tile the
-# 64-channel DLA levels across the batch dim, filling the MXU; 128 is the
-# sweet spot before HBM pressure bites.
+# Measured batch sweep on one v5e (bf16, device fps/chip): 16 -> 552,
+# 32 -> 590, 64 -> 622, 128 -> 981, 160 -> 722, 192 -> 811, 256 -> 907.
+# Large batches let XLA tile the 64-channel DLA levels across the batch
+# dim, filling the MXU; 128 is the sweet spot (power-of-two layouts) —
+# both neighbors regress on padded tilings. B=1 serving latency:
+# 3.47 ms/frame device-side (287.9 fps, bf16).
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 WARMUP = 3
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))

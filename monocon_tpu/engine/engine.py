@@ -91,6 +91,19 @@ class MonoConEngine:
         n_dev = cfg.TPU.NUM_DEVICES
         available = (len(jax.devices()) if n_dev in (-1, 0, None) else n_dev)
         spatial = max(1, int(cfg.TPU.get("SPATIAL_SHARDS", 1)))
+        if spatial > 1:
+            # H-sharding is only numerically exact within the measured
+            # halo-exchange envelope (parallel/mesh.py); it needs the
+            # static canvas to validate against.
+            pad_hw_cfg = cfg.TPU.get("PAD_HW")
+            if not pad_hw_cfg:
+                raise ValueError(
+                    "TPU.SPATIAL_SHARDS > 1 requires a static TPU.PAD_HW "
+                    "canvas (spatial sharding splits the canvas height)"
+                )
+            from ..parallel import validate_spatial_shards
+
+            validate_spatial_shards(int(pad_hw_cfg[0]), spatial)
         batch = cfg.DATA.BATCH_SIZE
         data_shards = max(1, available // spatial)
         while data_shards > 1 and batch % data_shards != 0:

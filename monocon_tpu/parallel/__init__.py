@@ -5,9 +5,11 @@ from .mesh import (
     batch_sharding,
     image_sharding,
     make_mesh,
+    max_safe_spatial_shards,
     replicate_state,
     replicated,
     shard_batch,
+    validate_spatial_shards,
 )
 
 __all__ = [
@@ -17,8 +19,10 @@ __all__ = [
     "image_sharding",
     "initialize_multihost",
     "make_mesh",
+    "max_safe_spatial_shards",
     "replicate_state",
     "replicated",
     "shard_batch",
     "shard_global_batch",
+    "validate_spatial_shards",
 ]

@@ -18,6 +18,19 @@ or a single very large image — run without host round-trips.
 BatchNorm note: since the whole train step is one jitted SPMD program,
 batch-stat reductions are global means over the full (sharded) batch —
 i.e. sync-BN semantics by construction, on either mesh shape.
+
+Spatial-shard safety envelope: GSPMD's conv halo exchange was measured
+(virtual CPU mesh, this repo) to MISCOMPUTE when a shard's slice of the
+convolved axis is too thin — a 3x3 stride-2 conv with 2 input rows per
+shard, a 3x3 stride-1 conv with 1 row per shard, and a 7x7 stride-1 conv
+with 2 rows per shard all return garbage (relative error ~3), while one
+row more each is exact to f32 roundoff; lhs-dilated (transposed) convs
+and reduce_window are exact at any thinness. Empirical rule: a conv
+needs >= (window//2 + stride) input rows per shard. For the DLA
+architecture the binding ops are the stride-2 3x3 convs (input H/16) and
+the stride-1 3x3 convs at the deepest level (H/32);
+:func:`max_safe_spatial_shards` encodes that envelope and the engine
+enforces it.
 """
 
 from __future__ import annotations
@@ -53,6 +66,45 @@ def make_mesh(
         grid = np.array(devices).reshape(-1, spatial)
         return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
     return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def max_safe_spatial_shards(pad_h: int) -> int:
+    """Largest spatial shard count proven numerically exact for DLA.
+
+    Every conv must keep >= (window//2 + stride) input rows per shard
+    (see module docstring for the measured GSPMD halo misbehavior below
+    that). The binding constraints in DLA-34/46/60/102 + DLAUp + heads:
+
+      * 3x3 stride-2 convs consuming the H/16 feature map -> need
+        (pad_h // 16) / shards >= 3;
+      * 3x3 stride-1 convs on the H/32 map -> need
+        (pad_h // 32) / shards >= 2.
+
+    (The stem's 7x7 runs at full H; the neck's transposed convs and the
+    decode max-pool were measured exact at any thinness.)
+    """
+    return max(1, min((pad_h // 16) // 3, (pad_h // 32) // 2))
+
+
+def validate_spatial_shards(pad_h: int, spatial: int) -> None:
+    """Raise unless ``spatial`` H-shards of a ``pad_h`` canvas stay in
+    the proven-exact halo-exchange envelope (and divide it evenly)."""
+    if spatial <= 1:
+        return
+    if pad_h % spatial != 0:
+        raise ValueError(
+            f"TPU.SPATIAL_SHARDS={spatial} does not divide the batch "
+            f"canvas height {pad_h}"
+        )
+    safe = max_safe_spatial_shards(pad_h)
+    if spatial > safe:
+        raise ValueError(
+            f"TPU.SPATIAL_SHARDS={spatial} exceeds the numerically safe "
+            f"limit {safe} for canvas height {pad_h}: below "
+            f"(window//2 + stride) rows per shard, GSPMD's conv halo "
+            f"exchange miscomputes (see parallel/mesh.py). Reduce the "
+            f"shard count or raise TPU.PAD_HW[0]."
+        )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -120,6 +120,10 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--mask-check", action="store_true",
                     help="also measure the all-ones valid-mask variant")
+    ap.add_argument("--accum", type=int, default=1,
+                    help=">1: build the optimizer with grad_accum=k "
+                         "(optax.MultiSteps) to measure the per-microbatch "
+                         "accumulation tax vs the plain step")
     ap.add_argument("--ops", action="store_true",
                     help="print the top device ops per variant")
     args = ap.parse_args()
@@ -139,7 +143,8 @@ def main():
         model, variables = create_detector_state(
             jax.random.PRNGKey(0), image_hw=pad_hw, dtype=dtype
         )
-        optimizer = build_optimizer(total_steps=1000)
+        optimizer = build_optimizer(total_steps=1000,
+                                    grad_accum=args.accum)
         step_fn = jax.jit(make_train_step(model, optimizer))
         for b in map(int, args.batches.split(",")):
             image = jnp.asarray(

@@ -43,21 +43,28 @@ def test_spatial_mesh_image_sharding():
 def test_spatial_step_matches_single_device(rng):
     """The H-sharded (4 data x 2 space) train step must reproduce
     single-device numerics: XLA's halo exchanges at the height-shard
-    boundaries are exact, and BN/grad reductions stay global."""
+    boundaries are exact, and BN/grad reductions stay global.
+
+    pad_hw keeps every conv inside the measured halo-exchange safety
+    envelope (validate_spatial_shards): H=128 / 2 shards leaves the
+    deepest stride-2 conv 4 input rows per shard."""
     from monocon_tpu.engine import create_train_state, make_train_step
     from monocon_tpu.models import create_detector_state
-    from monocon_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from monocon_tpu.parallel import (
+        make_mesh, replicate_state, shard_batch, validate_spatial_shards,
+    )
     from monocon_tpu.solver import build_optimizer
     from tests.test_ops_parity import random_label_batch
 
-    pad_hw = (64, 96)
+    pad_hw = (128, 64)
+    validate_spatial_shards(pad_hw[0], 2)  # in-envelope by construction
     model, variables = create_detector_state(
         jax.random.PRNGKey(0), image_hw=pad_hw
     )
     optimizer = build_optimizer(total_steps=10, use_scheduler=False)
     step = jax.jit(make_train_step(model, optimizer))
 
-    label = random_label_batch(rng, b=8, o=30, feat_hw=(16, 24),
+    label = random_label_batch(rng, b=8, o=30, feat_hw=(32, 16),
                                pad_hw=pad_hw)
     batch = {
         "img": jnp.asarray(
@@ -78,6 +85,95 @@ def test_spatial_step_matches_single_device(rng):
         np.testing.assert_allclose(
             float(losses_single[k]), float(losses_spatial[k]),
             rtol=1e-4, err_msg=k,
+        )
+
+
+def test_spatial_shard_envelope():
+    """validate_spatial_shards encodes the measured GSPMD halo-exchange
+    envelope: a conv needs >= (window//2 + stride) input rows per shard
+    (below that, H-sharded convs were measured to return garbage —
+    parallel/mesh.py module docstring). Check the boundary cases."""
+    import pytest
+
+    from monocon_tpu.parallel import (
+        max_safe_spatial_shards, validate_spatial_shards,
+    )
+
+    # Production canvas: 384/16=24 rows at the stride-2 convs (/3 -> 8),
+    # 384/32=12 at the deepest stride-1 convs (/2 -> 6).
+    assert max_safe_spatial_shards(384) == 6
+    validate_spatial_shards(384, 2)
+    validate_spatial_shards(384, 6)
+    with pytest.raises(ValueError, match="numerically safe"):
+        validate_spatial_shards(384, 8)
+    # Tiny canvases admit no spatial sharding at all: 64/16=4 rows at the
+    # stride-2 convs is exactly the measured-broken case for 2 shards.
+    assert max_safe_spatial_shards(64) == 1
+    with pytest.raises(ValueError, match="numerically safe"):
+        validate_spatial_shards(64, 2)
+    # Non-dividing shard counts are rejected before the envelope check.
+    with pytest.raises(ValueError, match="does not divide"):
+        validate_spatial_shards(384, 5)
+    # The test canvas used by the numeric spatial tests is in-envelope.
+    assert max_safe_spatial_shards(128) == 2
+
+
+def test_engine_rejects_unsafe_spatial_config(tmp_path):
+    """Engine construction must fail loudly on an out-of-envelope
+    SPATIAL_SHARDS (before touching data), and when spatial sharding is
+    requested without a static canvas."""
+    import pytest
+
+    from monocon_tpu.config import get_default_cfg
+    from monocon_tpu.engine.engine import MonoConEngine
+
+    cfg = get_default_cfg()
+    cfg.DATA.ROOT = str(tmp_path)  # never reached
+    cfg.TPU.SPATIAL_SHARDS = 8     # limit at 384 px is 6
+    with pytest.raises(ValueError, match="numerically safe"):
+        MonoConEngine(cfg)
+
+    cfg.TPU.SPATIAL_SHARDS = 2
+    cfg.TPU.PAD_HW = None
+    with pytest.raises(ValueError, match="static TPU.PAD_HW"):
+        MonoConEngine(cfg)
+
+
+def test_spatial_eval_matches_single_device(rng):
+    """The inference forward on the H-sharded dp x sp mesh must reproduce
+    single-device head maps — halo exchanges are exact on the eval path
+    too. Compared on the continuous predictions (heatmaps / regression
+    maps): decode's discrete top-k is deliberately excluded, since with
+    near-tied scores it amplifies f32 reduction-order noise into
+    different-but-equivalent selections. pad_hw stays inside the
+    validate_spatial_shards halo-exchange envelope."""
+    from monocon_tpu.models import create_detector_state
+    from monocon_tpu.parallel import make_mesh, shard_batch
+
+    pad_hw = (128, 64)
+    model, variables = create_detector_state(
+        jax.random.PRNGKey(0), image_hw=pad_hw
+    )
+
+    @jax.jit
+    def forward(image):
+        return model.apply(variables, image, train=False)
+
+    image = jnp.asarray(
+        rng.normal(size=(8, *pad_hw, 3)).astype(np.float32)
+    )
+
+    single = forward(image)
+
+    mesh = make_mesh(8, spatial=2)
+    with mesh:
+        batch = shard_batch({"img": image}, mesh)
+        spatial = forward(batch["img"])
+
+    for k in single:
+        np.testing.assert_allclose(
+            np.asarray(single[k]), np.asarray(spatial[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
         )
 
 
