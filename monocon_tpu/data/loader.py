@@ -25,13 +25,19 @@ DEFAULT_PAD_HW = (384, 1248)
 
 
 def collate(samples: List[Dict[str, Any]],
-            pad_hw: Optional[Tuple[int, int]] = DEFAULT_PAD_HW) -> Dict[str, Any]:
+            pad_hw: Optional[Tuple[int, int]] = DEFAULT_PAD_HW,
+            out_images: Optional[np.ndarray] = None) -> Dict[str, Any]:
     """Stack samples into one batch dict with numpy arrays.
 
     Images are placed top-left on a zeroed (pad_h, pad_w) canvas; labels
     (already fixed-shape per sample) stack to (B, O, ...); per-sample P2
     matrices stack to a (B, 3, 4) array (fixes the reference's host pull of
     Python calib objects inside decode, monocon_heads.py:501,543).
+
+    ``out_images``: optional preallocated (B, pad_h, pad_w, 3) canvas to
+    fill in place — reusing one canvas across batches keeps the host
+    buffer hot for the H2D path (a fresh numpy buffer per batch measures
+    3-40x slower to device_put than a reused one; see DataLoader).
     """
     if pad_hw is None:
         hs = [s["img"].shape[0] for s in samples]
@@ -42,7 +48,13 @@ def collate(samples: List[Dict[str, Any]],
     # normalization to the device (QuantizeU8 / device_normalize), float32
     # when the host Normalize transform ran.
     img_dtype = samples[0]["img"].dtype
-    images = np.zeros((b, *pad_hw, 3), img_dtype)
+    if (out_images is not None
+            and out_images.shape == (b, *pad_hw, 3)
+            and out_images.dtype == img_dtype):
+        images = out_images
+        images.fill(0)
+    else:
+        images = np.zeros((b, *pad_hw, 3), img_dtype)
     for i, s in enumerate(samples):
         img = s["img"]
         h = min(img.shape[0], pad_hw[0])
@@ -99,6 +111,8 @@ class DataLoader:
         prefetch_batches: int = 2,
         device_put_fn=None,
         pad_to_batch: bool = False,
+        staging_buffers: int = 3,
+        staging: str = "auto",
     ):
         """``pad_to_batch``: pad a remainder batch to ``batch_size`` by
         cyclically repeating its samples, with ``batch['valid']`` (B,) 0/1
@@ -119,6 +133,25 @@ class DataLoader:
         self.device_put_fn = device_put_fn
         self.pad_to_batch = pad_to_batch
         self.epoch = 0
+        # Staging-canvas ring for the H2D path: device_put from a REUSED
+        # host buffer measures 57-60 MB/s on this link vs 1.4-19 MB/s
+        # from a freshly allocated one (buffer registration dominates).
+        # numpy's allocator often hands back the same address for
+        # sequential alloc/free cycles, which hides the gap in a warm
+        # loader loop — the ring makes the hot-buffer property a
+        # guarantee instead of allocator luck, so the producer collates
+        # into a small ring of persistent canvases.
+        # A slot is only reused after the device array that consumed it is
+        # ready (no overwrite of an in-flight transfer), and only when the
+        # image genuinely moved to another memory space: CPU device_put
+        # ZERO-COPIES aligned numpy arrays (the jax.Array aliases the
+        # canvas), so ``staging='auto'`` reuses only for non-CPU devices.
+        # 'force' always reuses (tests, with a copying put fn); 'off'
+        # disables the ring.
+        self.staging_buffers = max(2, staging_buffers)
+        self.staging = staging
+        self._staging: List[Optional[np.ndarray]] = []
+        self._inflight: List[Any] = []
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -151,10 +184,44 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        ring_n = self.staging_buffers
+        if len(self._staging) != ring_n:
+            self._staging = [None] * ring_n
+            self._inflight = [None] * ring_n
+
+        def acquire_canvas(slot):
+            """The slot's canvas, once its previous transfer completed."""
+            if self.device_put_fn is None:
+                return None  # host consumer keeps the arrays: no reuse
+            if self._inflight[slot] is not None:
+                import jax
+
+                jax.block_until_ready(self._inflight[slot])
+                self._inflight[slot] = None
+            return self._staging[slot]
+
+        def retire_or_track(slot, host_img, batch):
+            """Keep the canvas for reuse only if the image genuinely moved
+            to a separate memory space; a pass-through numpy image or a
+            zero-copy CPU jax.Array aliases the canvas and retires it."""
+            import jax
+
+            img = batch.get("img")
+            track = isinstance(img, jax.Array) and img is not host_img
+            if track and self.staging != "force":
+                track = (self.staging == "auto"
+                         and next(iter(img.devices())).platform != "cpu")
+            if track:
+                self._staging[slot] = host_img
+                self._inflight[slot] = img
+            else:
+                self._staging[slot] = None
+                self._inflight[slot] = None
+
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for start in batch_starts:
+                    for bi, start in enumerate(batch_starts):
                         if stop.is_set():
                             return
                         idxs = order[start:start + self.batch_size]
@@ -170,7 +237,10 @@ class DataLoader:
                                 for i in range(self.batch_size - num_valid)
                             ]
                             samples = samples + reps
-                        batch = collate(samples, self.pad_hw)
+                        slot = bi % ring_n
+                        batch = collate(samples, self.pad_hw,
+                                        out_images=acquire_canvas(slot))
+                        host_img = batch["img"]
                         if self.pad_to_batch:
                             valid = np.zeros(len(samples), np.float32)
                             valid[:num_valid] = 1.0
@@ -178,6 +248,7 @@ class DataLoader:
                             batch["num_valid"] = num_valid
                         if self.device_put_fn is not None:
                             batch = self.device_put_fn(batch)
+                            retire_or_track(slot, host_img, batch)
                         out_q.put(batch)
                 out_q.put(None)
             except BaseException as exc:  # propagate to the consumer

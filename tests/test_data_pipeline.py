@@ -196,3 +196,62 @@ def test_collate_and_loader(kitti_root):
     loader.set_epoch(3)
     b2 = next(iter(loader))
     np.testing.assert_array_equal(b1["img"], b2["img"])
+
+
+def test_loader_staging_ring_correctness(kitti_root):
+    """The H2D staging-canvas ring must never corrupt batches: with
+    staging='force' and a copying device_put_fn, every batch's device
+    image equals the same loader run without staging, across enough
+    batches to wrap the ring several times."""
+    import jax
+    import jax.numpy as jnp
+
+    def copying_put(batch):
+        out = dict(batch)
+        # explicit host copy then device array — models a real transfer
+        out["img"] = jnp.asarray(np.array(batch["img"], copy=True))
+        return out
+
+    ds = MonoConDataset(kitti_root, "train")
+    kw = dict(batch_size=2, shuffle=True, num_workers=2,
+              pad_hw=(96, 320), seed=5)
+    ref_imgs = []
+    for epoch in (1, 2, 3):
+        ref = DataLoader(ds, staging="off", **kw)
+        ref.set_epoch(epoch)
+        ref_imgs.extend(np.array(b["img"]) for b in ref)
+
+    staged = DataLoader(ds, device_put_fn=copying_put, staging="force",
+                        staging_buffers=2, **kw)
+    got = []
+    for epoch in (1, 2, 3):
+        staged.set_epoch(epoch)
+        for b in staged:
+            assert isinstance(b["img"], jax.Array)
+            got.append(np.asarray(b["img"]))
+    assert len(got) == len(ref_imgs) and len(got) >= 6
+    for a, b in zip(ref_imgs, got):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_loader_staging_auto_is_safe_on_cpu(kitti_root):
+    """staging='auto' must NOT reuse canvases on CPU, where device_put
+    zero-copies aligned numpy arrays (the jax.Array would alias the
+    canvas and later batches would overwrite earlier ones)."""
+    import jax
+    import jax.numpy as jnp
+
+    def put(batch):
+        out = dict(batch)
+        out["img"] = jnp.asarray(batch["img"])
+        return out
+
+    ds = MonoConDataset(kitti_root, "train")
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                        pad_hw=(96, 320), seed=5, device_put_fn=put)
+    batches = [b["img"] for b in loader]
+    again = [np.array(b["img"]) for b in
+             DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                        pad_hw=(96, 320), seed=5)]
+    for a, b in zip(batches, again):
+        np.testing.assert_array_equal(np.asarray(a), b)
