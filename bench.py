@@ -39,6 +39,8 @@ TORCH_FRAMES = int(os.environ.get("BENCH_TORCH_FRAMES", "10"))
 # Serving configuration: bf16 activations (weights stay f32); the eval/AP
 # path in test.py defaults to f32 (cfg.TPU.COMPUTE_DTYPE).
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+# Backbone variant: 34 (flagship) / 46 / 60 / 102.
+DLA = int(os.environ.get("BENCH_DLA", "34"))
 
 
 def bench_jax():
@@ -51,7 +53,7 @@ def bench_jax():
     from monocon_tpu.utils.profiling import device_op_seconds, device_trace
 
     model, variables = create_detector_state(
-        jax.random.PRNGKey(0), image_hw=PAD_HW,
+        jax.random.PRNGKey(0), num_layers=DLA, image_hw=PAD_HW,
         dtype=jnp.bfloat16 if DTYPE == "bfloat16" else None,
     )
 
@@ -117,7 +119,7 @@ def bench_torch_cpu() -> float:
         torch.manual_seed(0)
         from model.detector.monocon_detector import MonoConDetector
 
-        det = MonoConDetector(num_dla_layers=34, pretrained_backbone=False)
+        det = MonoConDetector(num_dla_layers=DLA, pretrained_backbone=False)
         det.eval()
         x = torch.randn(1, 3, *PAD_HW)
         with torch.no_grad():
@@ -141,7 +143,7 @@ def main():
 
     result = {
         "metric": "frames/sec/chip on KITTI val (384x1280) inference "
-                  "(DLA-34 forward + 3D decode)",
+                  f"(DLA-{DLA} forward + 3D decode)",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / torch_fps, 2) if torch_fps else None,

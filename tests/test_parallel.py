@@ -177,6 +177,44 @@ def test_spatial_eval_matches_single_device(rng):
         )
 
 
+def test_spatial_4way_interior_shards(rng):
+    """4-way H-sharding exercises INTERIOR shards (two-sided halo
+    exchange), which the 2-shard tests never hit. Canvas H=256 keeps
+    4 shards inside the validated envelope (max_safe_spatial_shards(256)
+    == 4). Eval forward must reproduce single-device head maps."""
+    from monocon_tpu.models import create_detector_state
+    from monocon_tpu.parallel import (
+        make_mesh, max_safe_spatial_shards, shard_batch,
+    )
+
+    assert max_safe_spatial_shards(256) == 4
+    pad_hw = (256, 32)
+    model, variables = create_detector_state(
+        jax.random.PRNGKey(0), image_hw=pad_hw
+    )
+
+    @jax.jit
+    def forward(image):
+        return model.apply(variables, image, train=False)
+
+    image = jnp.asarray(
+        rng.normal(size=(2, *pad_hw, 3)).astype(np.float32)
+    )
+    single = forward(image)
+
+    mesh = make_mesh(8, spatial=4)  # 2 data x 4 space
+    assert dict(mesh.shape) == {"data": 2, "space": 4}
+    with mesh:
+        batch = shard_batch({"img": image}, mesh)
+        spatial = forward(batch["img"])
+
+    for k in single:
+        np.testing.assert_allclose(
+            np.asarray(single[k]), np.asarray(spatial[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
+        )
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
