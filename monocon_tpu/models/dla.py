@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
 
-from .layers import (BN_EPS, BN_MOMENTUM, ConvBnRelu, bn_mask,
+from .layers import (BN_EPS, BN_MOMENTUM, ConvBnRelu, TorchBatchNorm, bn_mask,
                      he_normal_conv_init)
 
 Dtype = Any
@@ -164,7 +164,7 @@ class _S2DStemLevel(nn.Module):
 
 
 def _bn(train: bool, dtype, name: str) -> nn.BatchNorm:
-    return nn.BatchNorm(
+    return TorchBatchNorm(
         use_running_average=not train,
         momentum=BN_MOMENTUM,
         epsilon=BN_EPS,
@@ -355,7 +355,7 @@ class Tree(nn.Module):
         else:
             self.project_bn_def = False
         if self.project_bn_def:
-            self.project_bn = nn.BatchNorm(
+            self.project_bn = TorchBatchNorm(
                 momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype,
                 name="project_bn",
             )

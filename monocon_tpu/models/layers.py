@@ -17,6 +17,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax.linen import normalization as _fl_norm
 
 Dtype = Any
 
@@ -37,6 +38,71 @@ def bn_mask(valid: Optional[jnp.ndarray], ndim: int) -> Optional[jnp.ndarray]:
     if valid is None:
         return None
     return valid.astype(bool).reshape(valid.shape + (1,) * (ndim - 1))
+
+
+class TorchBatchNorm(nn.BatchNorm):
+    """``nn.BatchNorm`` with torch's running-variance semantics.
+
+    torch ``BatchNorm2d`` normalizes train-mode activations with the BIASED
+    batch variance but accumulates the UNBIASED (Bessel-corrected, n/(n-1))
+    variance into ``running_var``; flax stores the biased one. The per-update
+    deviation is negligible for spatial BN (n = B*H*W) but is a factor
+    B/(B-1) for the AttnWeights ``(B,1,1,K)`` BN (attentive_norm.py:104-109)
+    where the reduction count is just the batch — ~7%/update at B=16.
+    Eval mode reads ``running_var``, so reference parity requires the torch
+    rule. Variable collections/names ('batch_stats': mean/var) and the
+    ``mask=`` API are identical to ``nn.BatchNorm``; only the ``ra_var``
+    update line differs.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None, *,
+                 mask: Optional[jnp.ndarray] = None):
+        use_running_average = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        feature_axes = _fl_norm._canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(
+            i for i in range(x.ndim) if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), feature_shape)
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), feature_shape)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, var = _fl_norm._compute_stats(
+                x, reduction_axes, dtype=self.dtype,
+                axis_name=None, axis_index_groups=None,
+                use_fast_variance=self.use_fast_variance, mask=mask,
+            )
+            if not self.is_initializing():
+                if mask is None:
+                    n = 1.0
+                    for ax in reduction_axes:
+                        n *= x.shape[ax]
+                    bessel = n / max(n - 1.0, 1.0)  # static -> folded
+                else:
+                    n = jnp.sum(
+                        jnp.broadcast_to(mask, x.shape),
+                        axis=reduction_axes, dtype=jnp.float32)
+                    bessel = n / jnp.maximum(n - 1.0, 1.0)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * (var * bessel)
+
+        return _fl_norm._normalize(
+            self, x, mean, var, reduction_axes, feature_axes,
+            self.dtype, self.param_dtype, self.epsilon,
+            self.use_bias, self.use_scale,
+            self.bias_init, self.scale_init,
+            self.force_float32_reductions,
+        )
 
 
 def he_normal_conv_init(key, shape, dtype=jnp.float32):
@@ -73,7 +139,7 @@ class ConvBnRelu(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
@@ -112,7 +178,9 @@ class AttnWeights(nn.Module):
         # reduction keeps the cancellation error ~1e-5 relative, inside the
         # model parity tolerance; the result only modulates a hard sigmoid.
         n = x.shape[1] * x.shape[2]
-        xf = x.astype(jnp.float32)
+        # promote, don't hardcode f32: bf16/f32 -> f32 (the TPU path),
+        # f64 stays f64 (the x64 gradient-golden test path).
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         s1 = jnp.mean(xf, axis=(1, 2), keepdims=True)         # (B, 1, 1, C)
         s2 = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
         mean = s1
@@ -129,7 +197,7 @@ class AttnWeights(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(y)
-        y = nn.BatchNorm(
+        y = TorchBatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
@@ -158,7 +226,7 @@ class AttnBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        normed = nn.BatchNorm(
+        normed = TorchBatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.momentum,
             epsilon=self.eps,
