@@ -2,7 +2,7 @@
 
 Mirrors the reference ``test_raw.py`` flags (test_raw.py:16-32):
 --data_dir (frames), --calib_file (calib_cam_to_cam.txt),
---checkpoint_file, --save_dir, --fps.
+--checkpoint_file, --gpu_id (no-op), --save_dir, --fps.
 """
 
 from monocon_tpu.utils.platform import apply_platform_env
@@ -32,8 +32,12 @@ def parse_args():
     parser.add_argument("--calib_file", type=str, required=True,
                         help="calib_cam_to_cam.txt of the drive")
     parser.add_argument("--checkpoint_file", type=str, required=True)
+    parser.add_argument("--gpu_id", type=int, default=0,
+                        help="accepted for reference drop-in compatibility; "
+                             "device selection is XLA's (no-op)")
     parser.add_argument("--save_dir", type=str, default="./raw_results")
-    parser.add_argument("--fps", type=int, default=20)
+    parser.add_argument("--fps", type=int, default=25,
+                        help="FPS of the result video (reference default)")
     parser.add_argument("--score_threshold", type=float, default=0.4)
     return parser.parse_args()
 
