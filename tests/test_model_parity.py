@@ -57,6 +57,50 @@ def test_forward_parity(torch_detector):
         )
 
 
+def test_forward_golden_f64(torch_detector):
+    """Eval forward in float64 on BOTH sides (torch ``.double()`` vs
+    ``jax.enable_x64``): proves the forward has NO semantic deviation —
+    the f32 test above tolerates ~1e-4 which is reduction-order noise
+    (one-pass AttnWeights moments, fast-variance BN, XLA fusion order);
+    in f64 that noise floor collapses and the heads must agree to ~1e-9,
+    so a wrong estimator, eps, or momentum anywhere would fail loudly."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from monocon_tpu.models import MonoConDetector
+    from monocon_tpu.utils.torch_convert import convert_state_dict
+
+    variables = convert_state_dict(torch_detector.state_dict())
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 64, 160)).astype(np.float32)
+
+    ref64 = torch_detector.double()
+    with torch.no_grad():
+        feat = ref64.backbone(torch.from_numpy(x).double())
+        feat = ref64.neck(list(feat))[0]
+        ref_preds = {k: v.numpy() for k, v in
+                     ref64.head.forward_test(feat).items()}
+    torch_detector.float()  # restore for other tests in the module
+
+    model = MonoConDetector(num_layers=34)
+    with jax.enable_x64(True):
+        v64 = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float64), variables)
+        ours = jax.jit(
+            lambda v, img: model.apply(v, img, train=False)
+        )(v64, jnp.asarray(np.transpose(x, (0, 2, 3, 1)), jnp.float64))
+        ours = jax.tree.map(np.asarray, ours)
+
+    assert set(ours.keys()) == set(ref_preds.keys())
+    for key in ref_preds:
+        mine = np.transpose(ours[key], (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            mine, ref_preds[key], rtol=1e-6, atol=1e-9, err_msg=key
+        )
+
+
 def test_variable_tree_is_exhaustive(torch_detector):
     """Every converted leaf must land on an existing flax variable (and
     vice versa) — guards against silently dropped weights."""
