@@ -227,3 +227,167 @@ def load_imagenet_backbone(path: str) -> Dict[str, Dict[str, Any]]:
         if not k.startswith("fc") and "num_batches_tracked" not in k
     }
     return convert_state_dict(filtered)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: Flax variables -> reference-loadable torch state dict.
+# ---------------------------------------------------------------------------
+
+def _inv_conv(k: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(k, (3, 2, 0, 1)))  # HWIO -> OIHW
+
+
+def _inv_upconv(k: np.ndarray) -> np.ndarray:
+    # inverse of _upconv: (kh,kw,1,C) -> (C,1,kh,kw), then un-flip.
+    w = np.transpose(k, (3, 2, 0, 1))
+    return np.ascontiguousarray(w[:, :, ::-1, ::-1])
+
+
+def _np(a) -> np.ndarray:
+    return np.asarray(a, dtype=np.float32)
+
+
+def _export_bn(out, tkey, params, stats) -> None:
+    if params is not None and "scale" in params:
+        out[f"{tkey}.weight"] = _np(params["scale"])
+        out[f"{tkey}.bias"] = _np(params["bias"])
+    out[f"{tkey}.running_mean"] = _np(stats["mean"])
+    out[f"{tkey}.running_var"] = _np(stats["var"])
+    out[f"{tkey}.num_batches_tracked"] = np.zeros((), np.int64)
+
+
+def _export_conv(out, tkey, params) -> None:
+    out[f"{tkey}.weight"] = _inv_conv(_np(params["kernel"]))
+    if "bias" in params:
+        out[f"{tkey}.bias"] = _np(params["bias"])
+
+
+def _export_attnbn(out, tkey, params, stats) -> None:
+    """AttnBatchNorm2d: affine-free BN stats at the module root, weight_/
+    bias_ affines, attn_weights.attention = [1x1 conv, BN]."""
+    out[f"{tkey}.weight_"] = _np(params["weight_"])
+    out[f"{tkey}.bias_"] = _np(params["bias_"])
+    out[f"{tkey}.running_mean"] = _np(stats["bn"]["mean"])
+    out[f"{tkey}.running_var"] = _np(stats["bn"]["var"])
+    out[f"{tkey}.num_batches_tracked"] = np.zeros((), np.int64)
+    _export_conv(out, f"{tkey}.attn_weights.attention.0",
+                 params["attn"]["conv"])
+    _export_bn(out, f"{tkey}.attn_weights.attention.1",
+               params["attn"]["bn"], stats["attn"]["bn"])
+
+
+def _export_tree(out, tkey, params, stats) -> None:
+    """A DLA Tree level (tree1/tree2 recursion, root, project, blocks)."""
+    for name, sub in params.items():
+        st = (stats or {}).get(name, {})
+        if name in ("tree1", "tree2"):
+            # either a nested Tree or a bare block — same child grammar
+            _export_tree(out, f"{tkey}.{name}", sub, st)
+        elif name == "root":
+            _export_conv(out, f"{tkey}.root.conv", sub["conv"])
+            _export_bn(out, f"{tkey}.root.bn", sub["bn"],
+                       stats["root"]["bn"])
+        elif name == "project_conv":
+            _export_conv(out, f"{tkey}.project.0", sub)
+        elif name == "project_bn":
+            _export_bn(out, f"{tkey}.project.1", sub, stats["project_bn"])
+        elif name.startswith("conv"):
+            _export_conv(out, f"{tkey}.{name}", sub)
+        elif name.startswith("bn"):
+            _export_bn(out, f"{tkey}.{name}", sub, stats[name])
+        else:
+            raise KeyError(f"unmapped tree child {name} under {tkey}")
+
+
+_HEAD_NAMES_INV = {v: k for k, v in _HEAD_NAMES.items()}
+
+
+def export_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """monocon_tpu Flax variables -> the reference's torch state dict.
+
+    Exact inverse of :func:`convert_state_dict` (layout transforms
+    reversed; ``num_batches_tracked`` buffers emitted as 0 — the
+    reference uses fixed BN momentum, so torch never reads them). The
+    result loads into ``model.detector.MonoConDetector`` with
+    ``load_state_dict(strict=True)`` after ``torch.from_numpy`` (see
+    :func:`save_torch_checkpoint`), letting TPU-trained weights flow
+    back to the reference ecosystem.
+    """
+    params, stats = variables["params"], variables["batch_stats"]
+    params = _to_host_tree(params)
+    stats = _to_host_tree(stats)
+    out: Dict[str, np.ndarray] = {}
+
+    # Backbone.
+    bb_p, bb_s = params["backbone"], stats["backbone"]
+    _export_conv(out, "backbone.base_layer.0", bb_p["base_conv"])
+    _export_bn(out, "backbone.base_layer.1", bb_p["base_bn"],
+               bb_s["base_bn"])
+    for lvl in ("level0", "level1"):
+        for bname, block in bb_p[lvl].items():
+            i = int(bname[len("block"):])
+            _export_conv(out, f"backbone.{lvl}.{3 * i}", block["conv"])
+            _export_bn(out, f"backbone.{lvl}.{3 * i + 1}", block["bn"],
+                       bb_s[lvl][bname]["bn"])
+    for lvl, sub in bb_p.items():
+        if lvl.startswith("level") and lvl not in ("level0", "level1"):
+            _export_tree(out, f"backbone.{lvl}", sub, bb_s[lvl])
+
+    # Neck: ida_N { up_M (depthwise transposed conv), proj_M/node_M }.
+    for ida, mods in params["neck"].items():
+        for mod, sub in mods.items():
+            tkey = f"neck.{ida}.{mod}"
+            if mod.startswith("up_"):
+                out[f"{tkey}.weight"] = _inv_upconv(_np(sub["kernel"]))
+            else:
+                _export_conv(out, f"{tkey}.conv", sub["conv"])
+                _export_bn(out, f"{tkey}.bn1", sub["bn"],
+                           stats["neck"][ida][mod]["bn"])
+
+    # Heads.
+    for branch, sub in params["heads"].items():
+        st = stats["heads"][branch]
+        if branch == "dir":
+            _export_conv(out, "head.dir_feat.0", sub["feat_conv"])
+            _export_attnbn(out, "head.dir_feat.1", sub["feat_norm"],
+                           st["feat_norm"])
+            _export_conv(out, "head.dir_cls.0", sub["cls_conv"])
+            _export_conv(out, "head.dir_reg.0", sub["reg_conv"])
+            continue
+        tname = _HEAD_NAMES_INV[branch]
+        _export_conv(out, f"head.{tname}.0", sub["conv1"])
+        _export_attnbn(out, f"head.{tname}.1", sub["norm"], st["norm"])
+        _export_conv(out, f"head.{tname}.3", sub["conv2"])
+
+    return out
+
+
+def _to_host_tree(tree):
+    """Recursively materialize a (possibly frozen/flax) mapping of arrays
+    as plain dicts of numpy arrays."""
+    if hasattr(tree, "items"):
+        return {k: _to_host_tree(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+def save_torch_checkpoint(
+    variables: Dict[str, Any],
+    path: str,
+    epoch: int = 0,
+    iters: int = 0,
+) -> None:
+    """Write a reference-format ``.pth`` engine checkpoint
+    (engine/base_engine.py:176-187: {'engine_attrs': ...,
+    'state_dict': {'model': ..., 'optimizer': None, 'scheduler': None}})
+    from Flax variables, loadable by the reference's
+    ``load_checkpoint`` / ``test.py --checkpoint_file``."""
+    import torch
+
+    model_sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in export_state_dict(variables).items()}
+    engine_dict = {
+        "engine_attrs": {"epochs": epoch, "global_iters": iters},
+        "state_dict": {"model": model_sd, "optimizer": None,
+                       "scheduler": None},
+    }
+    torch.save(engine_dict, path)
