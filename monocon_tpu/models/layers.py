@@ -52,7 +52,11 @@ class TorchBatchNorm(nn.BatchNorm):
     Eval mode reads ``running_var``, so reference parity requires the torch
     rule. Variable collections/names ('batch_stats': mean/var) and the
     ``mask=`` API are identical to ``nn.BatchNorm``; only the ``ra_var``
-    update line differs.
+    update line differs. The flax-internal ``_compute_stats``/
+    ``_normalize`` helpers are reused DELIBERATELY (flax is pinned in
+    this image): normalization numerics stay bit-identical to upstream
+    ``nn.BatchNorm``, so every parity test pins them too — if a flax
+    upgrade moves these, the f64 goldens fail loudly.
     """
 
     @nn.compact
