@@ -9,6 +9,11 @@ bench.py's device-side fps — the gap is host-pipeline overhead.
 Usage: python scripts/eval_throughput.py [--num_val 256] [--batch 16]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from monocon_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()

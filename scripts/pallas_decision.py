@@ -8,6 +8,11 @@ Measures on the current platform, B=16, best-of-3 windows:
 Prints a markdown table for ROUND2_NOTES.md.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from monocon_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()

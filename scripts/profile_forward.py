@@ -6,6 +6,11 @@ Writes the raw jax.profiler trace under /tmp/monocon_trace (TensorBoard
 compatible) and prints a parsed per-op summary to stdout.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from monocon_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()

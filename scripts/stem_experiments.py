@@ -15,6 +15,11 @@ Variants (all numerically equal to the direct chain, checked in f32):
 Usage: python scripts/stem_experiments.py [--batch 16]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from monocon_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()
