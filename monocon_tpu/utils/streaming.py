@@ -1,0 +1,61 @@
+"""Software-pipelined streaming inference for frame sequences.
+
+The reference's raw-video path is strictly serial per frame: host decode
+-> H2D -> forward -> D2H -> vis conversion (test_raw.py:56-60). On TPU the
+device dispatch is asynchronous, so the three stages can overlap for free:
+
+  * frame i+1..i+p decode on a small thread pool (cv2/numpy release the
+    GIL) while
+  * frame i computes on the device (jax dispatch returns immediately), and
+  * frame i-1's result transfers D2H and converts to vis format on the
+    host.
+
+Wall-clock per frame then approaches max(host decode, device step, D2H)
+instead of their sum — on a v5e the 3.5 ms device step hides entirely
+behind the host decode of a 1242x375 PNG.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterator, Sequence
+
+
+def pipelined_frames(
+    dataset: Sequence[Any],
+    infer: Callable[[Any], Any],
+    finalize: Callable[[Any, Any], Any],
+    prefetch: int = 3,
+    workers: int = 2,
+) -> Iterator[Any]:
+    """Run ``finalize(infer(sample), sample)`` over every dataset index, in
+    order, with loading / device compute / result materialization
+    overlapped.
+
+    ``infer`` should dispatch device work and return WITHOUT forcing the
+    result to host (jax's async dispatch makes this the default);
+    ``finalize`` forces it (e.g. ``np.asarray``) one frame later, while the
+    next frame computes. Yields ``finalize``'s return values in frame
+    order.
+    """
+    n = len(dataset)
+    if n == 0:
+        return
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        loads: deque = deque()
+        for i in range(min(max(1, prefetch), n)):
+            loads.append(pool.submit(dataset.__getitem__, i))
+        next_i = len(loads)
+
+        pending = None  # (decoded_still_on_device, sample) of frame idx-1
+        for _ in range(n):
+            sample = loads.popleft().result()
+            if next_i < n:
+                loads.append(pool.submit(dataset.__getitem__, next_i))
+                next_i += 1
+            decoded = infer(sample)
+            if pending is not None:
+                yield finalize(*pending)
+            pending = (decoded, sample)
+        yield finalize(*pending)

@@ -10,6 +10,7 @@ from monocon_tpu.utils.platform import apply_platform_env
 apply_platform_env()
 
 import argparse
+import time
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,7 @@ from monocon_tpu.ops.image_norm import normalize_if_raw
 from monocon_tpu.models import create_detector_state
 from monocon_tpu.ops.decode import decode_predictions
 from monocon_tpu.utils import split_batch_detections, to_vis_format, tprint
+from monocon_tpu.utils.streaming import pipelined_frames
 from monocon_tpu.utils.visualizer import Visualizer
 
 
@@ -62,19 +64,35 @@ def main():
         pred = model.apply(variables, image, train=False)
         return decode_predictions(pred, p2, pad_hw)
 
-    results = []
-    for idx in range(len(dataset)):
-        sample = dataset[idx]
+    def infer(sample):
+        """Dispatch one frame; returns device arrays WITHOUT forcing them."""
         p2 = jnp.asarray(sample["calib"][0].P2[None].astype(np.float32))
         img_hw = jnp.asarray(
             np.array([sample["img_metas"]["unpadded_shape"]], np.int32)
         )
-        decoded = forward(variables, jnp.asarray(sample["img"]), p2, img_hw)
+        return forward(variables, jnp.asarray(sample["img"]), p2, img_hw)
+
+    def finalize(decoded, sample):
+        """Force D2H + vis conversion (runs while the NEXT frame computes)."""
         per_image = split_batch_detections(
             {k: np.asarray(v) for k, v in decoded.items()},
             args.score_threshold,
         )
-        results.extend(to_vis_format(per_image))
+        return to_vis_format(per_image)
+
+    # Software-pipelined streaming: frame decode (threads), device compute,
+    # and D2H/vis conversion overlap — see monocon_tpu/utils/streaming.py.
+    infer(dataset[0])  # compile outside the timed window
+    t0 = time.perf_counter()
+    results = []
+    for vis in pipelined_frames(dataset, infer, finalize):
+        results.extend(vis)
+    stream_s = time.perf_counter() - t0
+    tprint(
+        f"Streamed {len(dataset)} frames in {stream_s:.2f}s "
+        f"({len(dataset) / stream_s:.1f} fps end-to-end: decode + "
+        f"forward + 3D decode, pipelined)."
+    )
 
     visualizer = Visualizer(dataset, results)
     visualizer.export_as_video(args.save_dir, ["2d", "3d", "bev"], args.fps)
