@@ -47,6 +47,23 @@ class KITTIRawDataset:
     def __len__(self) -> int:
         return len(self.image_files)
 
+    def frame_shape(self, idx: int) -> tuple:
+        """Raw (h, w) of frame ``idx`` from the file header — no full
+        decode, so checking a whole drive for uniform resolution (one jit
+        shape = one compile) is cheap. PNG reads IHDR; other formats fall
+        back to a full decode."""
+        path = self.image_files[idx]
+        with open(path, "rb") as f:
+            head = f.read(26)
+        if head[:8] == b"\x89PNG\r\n\x1a\n":
+            w = int.from_bytes(head[16:20], "big")
+            h = int.from_bytes(head[20:24], "big")
+            return (h, w)
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img.shape[:2]
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         path = self.image_files[idx]
         bgr = cv2.imread(path)

@@ -159,8 +159,16 @@ class MonoConEngine:
             self.state = replicate_state(self.state, self.mesh)
             # Donate the state: optimizer/batch-stat buffers update in
             # place, halving peak HBM for the step.
+            from ..ops.targets import resolve_pallas_targets
+
+            use_pallas = resolve_pallas_targets(
+                cfg.TPU.get("PALLAS_TARGETS", "auto")
+            )
+            if use_pallas:
+                tprint("Target generation: Pallas splat kernel enabled.")
             self._train_step = jax.jit(
-                make_train_step(self.model, self.optimizer),
+                make_train_step(self.model, self.optimizer,
+                                use_pallas=use_pallas),
                 donate_argnums=0,
             )
         else:

@@ -137,17 +137,39 @@ def compute_losses(
     }
 
 
+# Rematerialization policies for the optional whole-model checkpoint wrap
+# (memory-pressure experiments; None = let XLA decide, the default).
+REMAT_POLICIES = {
+    "full": None,  # save nothing: recompute the whole forward in backward
+    "dots": "checkpoint_dots",
+    "dots_no_batch": "dots_with_no_batch_dims_saveable",
+}
+
+
 def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
     feat_stride: int = 4,
+    use_pallas: "bool | None" = None,
+    remat: "str | None" = None,
 ):
     """Build the jittable train step closure.
 
     The returned function maps (state, batch) -> (state, loss_dict) where
     ``batch = {'img': (B,H,W,3), 'label': {...fixed-shape...}}``. Heatmap
-    target shapes derive from the static image shape.
+    target shapes derive from the static image shape. ``use_pallas``
+    selects the target-generation splat path (None: platform-aware
+    default, ops/targets.py resolve_pallas_targets). ``remat`` wraps the
+    model apply in ``jax.checkpoint`` with a named policy
+    (REMAT_POLICIES) to trade recompute FLOPs for activation memory —
+    an anti-lever against XLA's spontaneous ``.remat`` duplication under
+    HBM pressure (observed at B=64, see STATUS round-3 training notes).
     """
+    policy = None
+    if remat is not None:
+        name = REMAT_POLICIES[remat]
+        policy = (getattr(jax.checkpoint_policies, name)
+                  if name is not None else None)
 
     def train_step(state: TrainState, batch: Dict[str, Any]):
         # uint8 transport -> f32; img_hw zeroes the padded border to match
@@ -156,10 +178,11 @@ def make_train_step(
         valid = batch.get("valid")  # (B,) 0/1 for padded remainder batches
         pad_hw = (img.shape[1], img.shape[2])
         feat_hw = (pad_hw[0] // feat_stride, pad_hw[1] // feat_stride)
-        target = generate_targets(batch["label"], feat_hw, pad_hw)
+        target = generate_targets(batch["label"], feat_hw, pad_hw,
+                                  use_pallas=use_pallas)
 
-        def loss_fn(params):
-            pred, new_model_state = model.apply(
+        def apply_fn(params, img):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 img,
                 train=True,
@@ -168,6 +191,12 @@ def make_train_step(
                 valid=valid,
                 mutable=["batch_stats"],
             )
+
+        if remat is not None:
+            apply_fn = jax.checkpoint(apply_fn, policy=policy)
+
+        def loss_fn(params):
+            pred, new_model_state = apply_fn(params, img)
             losses = compute_losses(pred, target, sample_valid=valid)
             total = sum(losses.values())
             return total, (losses, new_model_state["batch_stats"])

@@ -170,4 +170,50 @@ void fused_pr(const double* overlaps, const int64_t* overlap_offsets,
   }
 }
 
+// Threshold-selection matching (eval.py:167-285 with compute_fp=false):
+// for every image, greedily match gts to the highest-score unassigned
+// detection above min_overlap and emit the matched TP scores. These feed
+// select_thresholds (the 41-recall-point grid). out_scores must hold at
+// least sum(num_gt) doubles; returns the count written.
+int64_t thresh_scores(const double* overlaps, const int64_t* overlap_offsets,
+                      const double* dt_scores, const int64_t* dt_offsets,
+                      const int64_t* ignored_gt, const int64_t* gt_offsets,
+                      const int64_t* ignored_dt, int64_t num_images,
+                      double min_overlap, double* out_scores) {
+  int64_t written = 0;
+  std::vector<bool> assigned;
+  for (int64_t img = 0; img < num_images; ++img) {
+    const int64_t num_gt = gt_offsets[img + 1] - gt_offsets[img];
+    const int64_t num_dt = dt_offsets[img + 1] - dt_offsets[img];
+    const double* ov = overlaps + overlap_offsets[img];
+    const double* scores = dt_scores + dt_offsets[img];
+    const int64_t* ig_gt = ignored_gt + gt_offsets[img];
+    const int64_t* ig_dt = ignored_dt + dt_offsets[img];
+
+    assigned.assign(num_dt, false);
+    for (int64_t i = 0; i < num_gt; ++i) {
+      if (ig_gt[i] == -1) continue;
+      int64_t det_idx = -1;
+      double valid_detection = kNoDetection;
+      for (int64_t j = 0; j < num_dt; ++j) {
+        if (ig_dt[j] == -1 || assigned[j]) continue;
+        const double overlap = ov[j * num_gt + i];
+        if (overlap <= min_overlap) continue;
+        if (scores[j] > valid_detection) {
+          det_idx = j;
+          valid_detection = scores[j];
+        }
+      }
+      if (valid_detection == kNoDetection) continue;
+      if (ig_gt[i] == 1 || ig_dt[det_idx] == 1) {
+        assigned[det_idx] = true;
+      } else {
+        out_scores[written++] = scores[det_idx];
+        assigned[det_idx] = true;
+      }
+    }
+  }
+  return written;
+}
+
 }  // extern "C"

@@ -62,6 +62,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         c_double_p, ctypes.c_int64, ctypes.c_int64,
         c_double_p,
     ]
+    lib.thresh_scores.restype = ctypes.c_int64
+    lib.thresh_scores.argtypes = [
+        c_double_p, c_int64_p,           # overlaps, overlap_offsets
+        c_double_p, c_int64_p,           # dt_scores, dt_offsets
+        c_int64_p, c_int64_p,            # ignored_gt, gt_offsets
+        c_int64_p,                       # ignored_dt
+        ctypes.c_int64, ctypes.c_double,
+        c_double_p,                      # out_scores (>= total_gt)
+    ]
     _lib = lib
     return _lib
 
@@ -131,6 +140,54 @@ def batch_match(
         _ptr_d(pr),
     )
     return pr
+
+
+def batch_match_scores(
+    image_args: List[Dict[str, np.ndarray]],
+    metric: int,
+    min_overlap: float,
+    force_python: bool = False,
+) -> np.ndarray:
+    """Matched-TP scores at thresh=0 over all images (the input to
+    select_thresholds) — the loop the reference numba-``prange``d
+    (eval.py:128-133 caller). C++ with a Python fallback."""
+    lib = None if force_python else get_lib()
+    if lib is None:
+        from .protocol import match_image
+
+        out = []
+        for args in image_args:
+            _, _, _, _, scores = match_image(
+                metric=metric, min_overlap=min_overlap, compute_fp=False,
+                **args,
+            )
+            out.append(scores)
+        return (np.concatenate(out) if out else np.zeros(0, np.float64))
+
+    gt_counts = [len(a["gt_alphas"]) for a in image_args]
+    dt_counts = [len(a["dt_scores"]) for a in image_args]
+    ov_counts = [a["overlaps"].size for a in image_args]
+
+    def cat(key, dtype=np.float64):
+        arrs = [np.ascontiguousarray(a[key], dtype=dtype).reshape(-1)
+                for a in image_args]
+        out = (np.concatenate(arrs) if arrs else np.zeros(0, dtype))
+        return np.ascontiguousarray(out, dtype=dtype)
+
+    overlaps = cat("overlaps")
+    dt_scores = cat("dt_scores")
+    ignored_gt = cat("ignored_gt", np.int64)
+    ignored_dt = cat("ignored_dt", np.int64)
+    out_scores = np.zeros(max(1, sum(gt_counts)), np.float64)
+    n = lib.thresh_scores(
+        _ptr_d(overlaps), _ptr_i(_offsets(ov_counts)),
+        _ptr_d(dt_scores), _ptr_i(_offsets(dt_counts)),
+        _ptr_i(ignored_gt), _ptr_i(_offsets(gt_counts)),
+        _ptr_i(ignored_dt),
+        len(image_args), float(min_overlap),
+        _ptr_d(out_scores),
+    )
+    return out_scores[:n]
 
 
 def _batch_match_python(image_args, metric, min_overlap, thresholds,

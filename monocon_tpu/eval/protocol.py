@@ -260,6 +260,18 @@ def match_image(
     return tp, fp, fn, similarity, np.array(tp_scores)
 
 
+def collect_thresh_scores(image_args: List[Dict], metric: int,
+                          min_overlap: float) -> np.ndarray:
+    """Matched-TP scores at thresh=0 across all images — the input to
+    :func:`select_thresholds`. Dispatches to the C++ matcher
+    (``native.batch_match_scores``); results are identical to running
+    :func:`match_image` with ``compute_fp=False`` per image (the
+    reference's numba-JIT loop, eval.py:128-133)."""
+    from .native import batch_match_scores
+
+    return batch_match_scores(image_args, metric, min_overlap)
+
+
 def eval_class(
     gt_annos: List[Dict],
     dt_annos: List[Dict],
@@ -307,18 +319,12 @@ def eval_class(
             ]
             for k in range(min_overlaps.shape[0]):
                 min_overlap = float(min_overlaps[k, metric, m])
-                all_scores = []
-                for args in image_args:
-                    _, _, _, _, scores = match_image(
-                        metric=metric, min_overlap=min_overlap,
-                        compute_fp=False, **args,
-                    )
-                    all_scores.append(scores)
                 if total_valid_gt == 0:
                     continue
-                thresholds = select_thresholds(
-                    np.concatenate(all_scores), total_valid_gt
+                all_scores = collect_thresh_scores(
+                    image_args, metric, min_overlap
                 )
+                thresholds = select_thresholds(all_scores, total_valid_gt)
                 if len(thresholds) == 0:
                     continue
                 pr = batch_match(

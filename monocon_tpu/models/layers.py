@@ -84,6 +84,11 @@ class TorchBatchNorm(nn.BatchNorm):
                 x, reduction_axes, dtype=self.dtype,
                 axis_name=None, axis_index_groups=None,
                 use_fast_variance=self.use_fast_variance, mask=mask,
+                # honor the flax knob (default True): False computes the
+                # batch-moment sweeps in the activation dtype (bf16) —
+                # a bandwidth experiment, NOT the parity configuration
+                # (scripts/train_perf_experiments.py --bf16-stats).
+                force_float32_reductions=self.force_float32_reductions,
             )
             if not self.is_initializing():
                 if mask is None:

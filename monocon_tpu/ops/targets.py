@@ -25,12 +25,44 @@ PI = math.pi
 
 import os
 
-# The Pallas splat kernel is ~8x faster on-device (3.8ms vs ~30ms at
-# B=16), but on the tunneled `axon` dev platform each pallas_call incurs
-# pathological host-side launch overhead that more than cancels the win
-# (574ms wall vs 151ms device for the full train step). Default off; flip
-# on for real TPU hosts.
-_PALLAS_DEFAULT = os.environ.get("MONOCON_PALLAS_TARGETS", "0") == "1"
+
+def _is_axon_tunnel() -> bool:
+    """True when the TPU is reached through the tunneled ``axon`` dev
+    plugin (this sandbox). The tunnel adds pathological host-side launch
+    overhead per pallas_call that more than cancels the kernel's on-device
+    win (574 ms wall vs 151 ms device for the full train step at B=16), so
+    `auto` keeps the dense path there. Real TPU hosts register ``tpu``
+    (libtpu), never ``axon``."""
+    try:
+        import jax._src.xla_bridge as xb
+
+        if "axon" in xb.backends():
+            return True
+        version = getattr(xb.get_backend(), "platform_version", "") or ""
+        return "axon" in version
+    except Exception:
+        return False
+
+
+def resolve_pallas_targets(setting: object = "auto") -> bool:
+    """Decide whether target generation uses the Pallas splat kernel.
+
+    Precedence: env ``MONOCON_PALLAS_TARGETS=0/1`` overrides everything;
+    then an explicit True/False ``setting`` (config ``TPU.PALLAS_TARGETS``);
+    then ``'auto'``: ON for real TPU backends (the kernel is ~8x faster
+    on-device: 3.8 ms vs ~30 ms at B=16), OFF for CPU and for the tunneled
+    ``axon`` dev platform (see `_is_axon_tunnel`).
+    """
+    env = os.environ.get("MONOCON_PALLAS_TARGETS")
+    if env is not None:
+        return env == "1"
+    if isinstance(setting, bool):
+        return setting
+    if setting != "auto":
+        raise ValueError(
+            f"TPU.PALLAS_TARGETS must be true/false/'auto', got {setting!r}"
+        )
+    return jax.default_backend() == "tpu" and not _is_axon_tunnel()
 
 
 def _splat(centers, radius, chan, valid, num_channels, feat_h, feat_w,
@@ -38,7 +70,7 @@ def _splat(centers, radius, chan, valid, num_channels, feat_h, feat_w,
     """Dispatch Gaussian splatting: the Pallas TPU kernel with tile-level
     support culling, else the dense jnp path."""
     if use_pallas is None:
-        use_pallas = _PALLAS_DEFAULT and jax.default_backend() == "tpu"
+        use_pallas = resolve_pallas_targets()
     if use_pallas:
         from .pallas_splat import splat_max_heatmap_pallas
 
@@ -177,7 +209,7 @@ def generate_targets(
     # masking O*K instances against every channel (9x less work).
     kpt_centers = jnp.stack([kx_int, ky_int], axis=-1)        # (B, O, K, 2)
     if use_pallas is None:
-        use_pallas = _PALLAS_DEFAULT and jax.default_backend() == "tpu"
+        use_pallas = resolve_pallas_targets()
     if use_pallas:
         # One kernel launch over all O*K instances; the tile cull makes the
         # per-instance cost negligible.

@@ -38,6 +38,12 @@ def pipelined_frames(
     ``finalize`` forces it (e.g. ``np.asarray``) one frame later, while the
     next frame computes. Yields ``finalize``'s return values in frame
     order.
+
+    Thread-safety requirement: ``dataset.__getitem__`` is called from
+    ``workers`` pool threads concurrently, so it must be thread-safe and
+    stateless per call (no shared mutable caches, no sequential readers
+    like a single cv2.VideoCapture). ``KITTIRawDataset`` qualifies: each
+    call opens/decodes its own frame file.
     """
     n = len(dataset)
     if n == 0:

@@ -1,0 +1,252 @@
+"""Evaluator wall-time at real-KITTI scale (VERDICT round-3 #3).
+
+Generates ~3769 images' worth of synthetic annotations at KITTI detection
+density (the val split's size: reference README.MD benchmarks on 3769
+val images) and times ``kitti_eval`` end-to-end, plus a per-stage
+attribution of ``eval_class`` (overlap matrices / clean_data /
+threshold-selection matching / fused PR accumulation), for both the C++
+matcher and the pure-Python fallback (the fallback extrapolated from a
+subset if it is too slow to run whole).
+
+This is a HOST benchmark: on the 1-core sandbox host run it alone —
+concurrent TPU training serializes against it (CLAUDE.md) and the numbers
+become upper bounds, which is still enough to answer "does an eval
+dominate an EVAL_PERIOD?".
+
+Run: python scripts/eval_scale_bench.py [--images 3769] [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+CLASS_FREQ = (  # objects/image, eyeballed from KITTI class statistics
+    ("Car", 4.0), ("Pedestrian", 0.6), ("Cyclist", 0.2),
+    ("Van", 0.8), ("Person_sitting", 0.06), ("DontCare", 1.5),
+)
+DIMS = {  # (l, h, w) means
+    "Car": (3.9, 1.6, 1.6), "Van": (5.1, 2.2, 1.9),
+    "Pedestrian": (0.8, 1.8, 0.6), "Person_sitting": (0.8, 1.3, 0.6),
+    "Cyclist": (1.8, 1.7, 0.6), "DontCare": (-1.0, -1.0, -1.0),
+}
+
+
+def synth_annos(num_images: int, seed: int = 0):
+    """GT + DT annotation lists at KITTI-like density. DT boxes are
+    jittered copies of most GT boxes plus false positives, so the PR
+    curves (and the greedy matcher's workload) look like a real eval."""
+    rng = np.random.default_rng(seed)
+    gt_annos, dt_annos = [], []
+    for _ in range(num_images):
+        names, trunc, occ, alpha, bbox, dims, loc, rot = (
+            [], [], [], [], [], [], [], [])
+        for cls, freq in CLASS_FREQ:
+            for _ in range(rng.poisson(freq)):
+                names.append(cls)
+                trunc.append(float(rng.uniform(0, 0.6)))
+                occ.append(int(rng.integers(0, 4)))
+                alpha.append(float(rng.uniform(-np.pi, np.pi)))
+                x1 = rng.uniform(0, 1100)
+                y1 = rng.uniform(120, 340)
+                w = rng.uniform(25, 260)
+                h = rng.uniform(18, 130)
+                bbox.append([x1, y1, x1 + w, y1 + h])
+                dims.append(np.abs(rng.normal(DIMS[cls], 0.15)))
+                loc.append([rng.uniform(-25, 25), rng.uniform(0.5, 2.5),
+                            rng.uniform(3, 70)])
+                rot.append(float(rng.uniform(-np.pi, np.pi)))
+        n = len(names)
+        gt = {
+            "name": np.array(names),
+            "truncated": np.array(trunc, np.float64),
+            "occluded": np.array(occ, np.int64),
+            "alpha": np.array(alpha, np.float64),
+            "bbox": np.array(bbox, np.float64).reshape(n, 4),
+            "dimensions": np.array(dims, np.float64).reshape(n, 3),
+            "location": np.array(loc, np.float64).reshape(n, 3),
+            "rotation_y": np.array(rot, np.float64),
+            "score": np.zeros(n, np.float64),
+        }
+        gt_annos.append(gt)
+
+        # detections: ~80% of gts redetected with jitter + Poisson(6) FPs
+        keep = rng.random(n) < 0.8
+        idx = np.flatnonzero(keep & (gt["name"] != "DontCare"))
+        n_fp = rng.poisson(6)
+        d_names = list(gt["name"][idx])
+        d_bbox = gt["bbox"][idx] + rng.normal(0, 6, (len(idx), 4))
+        d_dims = gt["dimensions"][idx] * rng.uniform(0.85, 1.15,
+                                                     (len(idx), 3))
+        d_loc = gt["location"][idx] + rng.normal(0, 0.8, (len(idx), 3))
+        d_rot = gt["rotation_y"][idx] + rng.normal(0, 0.25, len(idx))
+        d_alpha = gt["alpha"][idx] + rng.normal(0, 0.25, len(idx))
+        d_score = rng.uniform(0.3, 1.0, len(idx))
+        for _ in range(n_fp):
+            cls = ("Car", "Pedestrian", "Cyclist")[int(rng.integers(0, 3))]
+            d_names.append(cls)
+            x1, y1 = rng.uniform(0, 1100), rng.uniform(120, 340)
+            d_bbox = np.vstack([d_bbox,
+                                [x1, y1, x1 + rng.uniform(25, 260),
+                                 y1 + rng.uniform(18, 130)]])
+            d_dims = np.vstack([d_dims, np.abs(rng.normal(DIMS[cls], 0.2))])
+            d_loc = np.vstack([d_loc, [rng.uniform(-25, 25),
+                                       rng.uniform(0.5, 2.5),
+                                       rng.uniform(3, 70)]])
+            d_rot = np.append(d_rot, rng.uniform(-np.pi, np.pi))
+            d_alpha = np.append(d_alpha, rng.uniform(-np.pi, np.pi))
+            d_score = np.append(d_score, rng.uniform(0.05, 0.6))
+        m = len(d_names)
+        dt_annos.append({
+            "name": np.array(d_names),
+            "truncated": np.zeros(m, np.float64),
+            "occluded": np.zeros(m, np.int64),
+            "alpha": np.array(d_alpha, np.float64),
+            "bbox": np.asarray(d_bbox, np.float64).reshape(m, 4),
+            "dimensions": np.asarray(d_dims, np.float64).reshape(m, 3),
+            "location": np.asarray(d_loc, np.float64).reshape(m, 3),
+            "rotation_y": np.array(d_rot, np.float64),
+            "score": np.array(d_score, np.float64),
+        })
+    return gt_annos, dt_annos
+
+
+def stage_attribution(gt_annos, dt_annos, classes=(0, 1, 2)):
+    """Time eval_class's stages for metric 2 (3D, the expensive one) at
+    the strict overlap regime."""
+    from monocon_tpu.eval import protocol
+    from monocon_tpu.eval.kitti_eval import _OVERLAP_STRICT, _OVERLAP_LOOSE
+    from monocon_tpu.eval.native import batch_match
+
+    min_overlaps = np.stack([_OVERLAP_STRICT, _OVERLAP_LOOSE])[
+        :, :, list(classes)]
+    n = len(gt_annos)
+    out = {}
+
+    t0 = time.perf_counter()
+    overlaps = [protocol.compute_overlap(gt_annos[i], dt_annos[i], 2)
+                for i in range(n)]
+    out["overlap_matrices_3d"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cleaned_all = {}
+    for m, cls in enumerate(classes):
+        for d in range(3):
+            cleaned_all[(m, d)] = [
+                protocol.clean_data(gt_annos[i], dt_annos[i], cls, d)
+                for i in range(n)
+            ]
+    out["clean_data"] = time.perf_counter() - t0
+
+    t_thresh = 0.0
+    t_pr = 0.0
+    for m, cls in enumerate(classes):
+        for d in range(3):
+            cleaned = cleaned_all[(m, d)]
+            total_valid_gt = sum(c[0] for c in cleaned)
+            image_args = [
+                dict(overlaps=overlaps[i],
+                     gt_alphas=gt_annos[i]["alpha"].astype(np.float64),
+                     dt_alphas=dt_annos[i]["alpha"].astype(np.float64),
+                     dt_scores=dt_annos[i]["score"].astype(np.float64),
+                     dt_bboxes=dt_annos[i]["bbox"].astype(np.float64),
+                     ignored_gt=cleaned[i][1], ignored_dt=cleaned[i][2],
+                     dc_bboxes=cleaned[i][3])
+                for i in range(n)
+            ]
+            for k in range(min_overlaps.shape[0]):
+                mo = float(min_overlaps[k, 2, m])
+                t0 = time.perf_counter()
+                all_scores = protocol.collect_thresh_scores(image_args, 2, mo)
+                t_thresh += time.perf_counter() - t0
+                if total_valid_gt == 0:
+                    continue
+                thresholds = protocol.select_thresholds(
+                    all_scores, total_valid_gt)
+                if len(thresholds) == 0:
+                    continue
+                t0 = time.perf_counter()
+                batch_match(image_args, 2, mo, thresholds, False)
+                t_pr += time.perf_counter() - t0
+    out["threshold_matching"] = t_thresh
+    out["fused_pr"] = t_pr
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=3769)
+    ap.add_argument("--python-subset", type=int, default=200,
+                    help="images for the pure-Python fallback timing "
+                         "(extrapolated linearly)")
+    ap.add_argument("--json", default="")
+    args = ap.parse_args()
+
+    from monocon_tpu.eval import native
+    from monocon_tpu.eval.kitti_eval import kitti_eval
+
+    t0 = time.perf_counter()
+    gt_annos, dt_annos = synth_annos(args.images)
+    print(f"synth annos: {args.images} images, "
+          f"{sum(len(a['name']) for a in gt_annos)} gt / "
+          f"{sum(len(a['name']) for a in dt_annos)} dt objects "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    record = {"images": args.images}
+
+    # End-to-end, C++ matcher (the production path).
+    assert native.get_lib() is not None, "C++ matcher failed to build"
+    t0 = time.perf_counter()
+    _, results = kitti_eval(gt_annos, dt_annos,
+                            ["Car", "Pedestrian", "Cyclist"])
+    record["end_to_end_cpp_s"] = time.perf_counter() - t0
+    print(f"kitti_eval end-to-end (C++ matcher): "
+          f"{record['end_to_end_cpp_s']:.1f}s "
+          f"[{len(results)} metric keys]")
+
+    # Stage attribution (metric 2 across all classes/difficulties/regimes).
+    stages = stage_attribution(gt_annos, dt_annos)
+    record["stages_3d"] = stages
+    print("stage attribution (3D metric, all cls x diff x 2 regimes):")
+    for k, v in stages.items():
+        print(f"  {k:>22}: {v:7.2f}s")
+
+    # Pure-Python fallback on a subset, extrapolated.
+    sub = args.python_subset
+    t0 = time.perf_counter()
+    kitti_eval(gt_annos[:sub], dt_annos[:sub],
+               ["Car", "Pedestrian", "Cyclist"])
+    py_sub = time.perf_counter() - t0
+    # (get_lib is monkeypatched off for the fallback run)
+    native._lib_save = native._lib
+    native._lib = None
+    native._tried = True
+    try:
+        t0 = time.perf_counter()
+        kitti_eval(gt_annos[:sub], dt_annos[:sub],
+                   ["Car", "Pedestrian", "Cyclist"])
+        py_fallback_sub = time.perf_counter() - t0
+    finally:
+        native._lib = native._lib_save
+    record["subset_images"] = sub
+    record["subset_cpp_s"] = py_sub
+    record["subset_python_s"] = py_fallback_sub
+    record["python_extrapolated_s"] = py_fallback_sub * args.images / sub
+    print(f"subset ({sub} imgs): C++ {py_sub:.1f}s, "
+          f"python fallback {py_fallback_sub:.1f}s "
+          f"(~{record['python_extrapolated_s']:.0f}s extrapolated to "
+          f"{args.images})")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"-> {args.json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    import monocon_tpu.ops.targets as targets_mod
     from monocon_tpu.data.synthetic import DEFAULT_P2
     from monocon_tpu.engine import create_train_state, make_train_step
     from monocon_tpu.models import create_detector_state
@@ -84,9 +83,8 @@ def main():
     img = jnp.asarray(rng.normal(size=(B, *pad_hw, 3)).astype(np.float32))
     batch = {"img": img, "label": label_dev}
     for name, flag in (("jnp targets", False), ("pallas targets", True)):
-        targets_mod._PALLAS_DEFAULT = flag  # trace-time dispatch
         state = create_train_state(variables, optimizer)
-        step = jax.jit(make_train_step(model, optimizer))
+        step = jax.jit(make_train_step(model, optimizer, use_pallas=flag))
         try:
             dt = min(
                 sync_timer(step, state, batch, iters=10, warmup=2)
@@ -96,7 +94,6 @@ def main():
         except Exception as exc:
             rows.append((f"train step f32 ({name})", float("nan")))
             print(f"  [{name} failed: {type(exc).__name__}: {exc}]")
-    targets_mod._PALLAS_DEFAULT = False
 
     # -- 3. decode in context (bf16 serving config) ---------------------
     # Decode alone on precomputed head outputs (comparing forward-only vs

@@ -67,8 +67,10 @@ def main():
     def infer(sample):
         """Dispatch one frame; returns device arrays WITHOUT forcing them."""
         p2 = jnp.asarray(sample["calib"][0].P2[None].astype(np.float32))
+        # img_metas values carry the fake batch dim already (kitti_raw.py
+        # wraps every meta in a 1-element list), so this is (1, 2).
         img_hw = jnp.asarray(
-            np.array([sample["img_metas"]["unpadded_shape"]], np.int32)
+            np.array(sample["img_metas"]["unpadded_shape"], np.int32)
         )
         return forward(variables, jnp.asarray(sample["img"]), p2, img_hw)
 
@@ -82,7 +84,23 @@ def main():
 
     # Software-pipelined streaming: frame decode (threads), device compute,
     # and D2H/vis conversion overlap — see monocon_tpu/utils/streaming.py.
-    infer(dataset[0])  # compile outside the timed window
+    # Warm up the jit cache outside the timed window, and force the result
+    # so the device queue is drained when the timer starts. The compile
+    # covers frame 0's padded shape only — assert the drive is
+    # uniform-resolution (KITTI drives are) so no recompile can land
+    # inside the timed loop and poison the fps number.
+    jax.block_until_ready(infer(dataset[0]))
+    raw_hw0 = dataset.frame_shape(0)
+    mismatched = [
+        i for i in range(1, len(dataset))
+        if dataset.frame_shape(i) != raw_hw0
+    ]
+    if mismatched:
+        raise SystemExit(
+            f"{len(mismatched)} frame(s) (first: {mismatched[:5]}) differ "
+            f"from frame 0's {raw_hw0} resolution; a mixed-resolution drive "
+            "would recompile (~minutes on TPU) inside the timed loop"
+        )
     t0 = time.perf_counter()
     results = []
     for vis in pipelined_frames(dataset, infer, finalize):

@@ -106,6 +106,38 @@ def test_cpp_matches_python(cpp_lib, rng):
                                        err_msg=f"metric={metric} aos={aos}")
 
 
+def test_cpp_thresh_scores_matches_python(cpp_lib, rng):
+    """The C++ threshold-selection matcher (compute_fp=False path) returns
+    the same TP-score multiset as per-image match_image."""
+    from monocon_tpu.eval.native import batch_match_scores
+
+    gts, dts = random_scene(rng, num_images=7, jitter=1.5, drop=0.25)
+    gts[0]["name"][-1] = "DontCare"
+    gts[0]["truncated"][-1] = -1
+
+    for metric in (0, 1, 2):
+        for difficulty in (0, 1, 2):
+            cleaned = [clean_data(g, d, 0, difficulty)
+                       for g, d in zip(gts, dts)]
+            image_args = [
+                dict(
+                    overlaps=compute_overlap(g, d, metric),
+                    gt_alphas=g["alpha"], dt_alphas=d["alpha"],
+                    dt_scores=d["score"], dt_bboxes=d["bbox"],
+                    ignored_gt=c[1], ignored_dt=c[2], dc_bboxes=c[3],
+                )
+                for g, d, c in zip(gts, dts, cleaned)
+            ]
+            for mo in (0.25, 0.5, 0.7):
+                py = batch_match_scores(image_args, metric, mo,
+                                        force_python=True)
+                cpp = batch_match_scores(image_args, metric, mo)
+                np.testing.assert_array_equal(
+                    np.sort(cpp), np.sort(py),
+                    err_msg=f"metric={metric} diff={difficulty} mo={mo}",
+                )
+
+
 def test_perfect_detection_ap40_is_100(rng):
     # Need >= 41 valid GT per class so the 41 recall points are all
     # reachable (with fewer GT, AP40 is undersampled by construction —
@@ -121,13 +153,12 @@ def test_perfect_detection_ap40_is_100(rng):
     assert "Overall" in result_str
 
 
-def test_ap_monotonic_under_degradation(rng):
-    gts, perfect = random_scene(rng, num_images=8, objs_per_img=10)
-    _, jittered = random_scene(
-        np.random.default_rng(1), num_images=8, objs_per_img=10
-    )
-    # same GT, degraded detections: drop 40%
-    _, dropped = random_scene(rng, num_images=8, objs_per_img=10)
+def test_ap_monotonic_under_degradation():
+    # Fixed seeds BOTH sides: the same GT scene scored against perfect
+    # detections vs 40%-dropped ones (a shared mutable rng here made the
+    # comparison cross-scene and order-dependent on the test stream).
+    gts, perfect = random_scene(np.random.default_rng(0), num_images=8,
+                                objs_per_img=10)
     gts2, dropped = random_scene(np.random.default_rng(0), num_images=8,
                                  objs_per_img=10, drop=0.4)
     _, ret_perfect = kitti_eval(gts, perfect, ["Car"], eval_types=["bbox"])

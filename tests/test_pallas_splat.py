@@ -78,3 +78,51 @@ def test_generate_targets_pallas_path(rng):
             np.asarray(tp[key]), np.asarray(tj[key]), rtol=1e-5, atol=1e-6,
             err_msg=key,
         )
+
+
+def test_resolve_pallas_targets_dispatch(monkeypatch):
+    """Platform-aware default: env > explicit config > auto (real TPU on,
+    axon tunnel / CPU off)."""
+    import pytest
+
+    from monocon_tpu.ops import targets as targets_mod
+
+    resolve = targets_mod.resolve_pallas_targets
+    monkeypatch.delenv("MONOCON_PALLAS_TARGETS", raising=False)
+
+    # Explicit config forces the path regardless of platform.
+    assert resolve(True) is True
+    assert resolve(False) is False
+
+    # auto on a real (non-tunneled) TPU backend -> ON.
+    monkeypatch.setattr(targets_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(targets_mod, "_is_axon_tunnel", lambda: False)
+    assert resolve("auto") is True
+    # auto through the axon tunnel -> OFF (host launch overhead).
+    monkeypatch.setattr(targets_mod, "_is_axon_tunnel", lambda: True)
+    assert resolve("auto") is False
+    # auto on CPU -> OFF.
+    monkeypatch.setattr(targets_mod.jax, "default_backend", lambda: "cpu")
+    monkeypatch.setattr(targets_mod, "_is_axon_tunnel", lambda: False)
+    assert resolve("auto") is False
+
+    # Env var overrides everything, including explicit config.
+    monkeypatch.setenv("MONOCON_PALLAS_TARGETS", "1")
+    assert resolve(False) is True
+    monkeypatch.setenv("MONOCON_PALLAS_TARGETS", "0")
+    assert resolve(True) is False
+
+    monkeypatch.delenv("MONOCON_PALLAS_TARGETS", raising=False)
+    with pytest.raises(ValueError):
+        resolve("definitely-not-a-setting")
+
+
+def test_axon_tunnel_detected_here():
+    """On this CPU test mesh there is no axon plugin: auto must be OFF via
+    the backend check (sanity for the real dispatch path, no mocks)."""
+    from monocon_tpu.ops.targets import resolve_pallas_targets
+
+    import os
+
+    if os.environ.get("MONOCON_PALLAS_TARGETS") is None:
+        assert resolve_pallas_targets("auto") is False

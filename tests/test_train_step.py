@@ -136,3 +136,40 @@ def test_train_step_runs_and_descends(rng):
     # batch_stats must have moved away from init (mean 0)
     bs = jax.tree.leaves(state.batch_stats)
     assert any(float(jnp.abs(x).max()) > 0 for x in bs)
+
+
+@pytest.mark.parametrize("remat", ["dots"])  # one policy: numerics are
+# policy-independent; each adds a full train-step CPU compile to the suite
+def test_remat_step_matches_plain(rng, remat):
+    """jax.checkpoint around the model apply (the HBM-pressure lever,
+    make_train_step remat=) must not change step numerics: same losses and
+    same updated params as the plain step from identical state/batch."""
+    from monocon_tpu.engine import create_train_state, make_train_step
+    from monocon_tpu.models import create_detector_state
+    from monocon_tpu.solver import build_optimizer
+
+    pad_hw = (64, 160)
+    model, variables = create_detector_state(
+        jax.random.PRNGKey(0), image_hw=pad_hw
+    )
+    optimizer = build_optimizer(lr=1e-3, total_steps=100, use_scheduler=False)
+    label = random_label_batch(rng, b=2, o=30, feat_hw=(16, 40),
+                               pad_hw=pad_hw)
+    batch = {
+        "img": jnp.asarray(
+            rng.normal(size=(2, *pad_hw, 3)).astype(np.float32)),
+        "label": {k: jnp.asarray(v) for k, v in label.items()},
+    }
+
+    plain = jax.jit(make_train_step(model, optimizer))
+    rem = jax.jit(make_train_step(model, optimizer, remat=remat))
+    s_plain, l_plain = plain(create_train_state(variables, optimizer), batch)
+    s_rem, l_rem = rem(create_train_state(variables, optimizer), batch)
+
+    for k in l_plain:
+        np.testing.assert_allclose(float(l_rem[k]), float(l_plain[k]),
+                                   rtol=1e-6, err_msg=k)
+    a = jax.tree.leaves(s_plain.params)
+    b = jax.tree.leaves(s_rem.params)
+    worst = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b))
+    assert worst < 1e-6, worst
