@@ -17,7 +17,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .rotate_iou import rotate_iou_matrix
+from .rotate_iou import rotate_iou_matrix, rotate_iou_pairs
 
 CLASS_NAMES = ("Car", "Pedestrian", "Cyclist", "Van", "Person_sitting")
 N_SAMPLE_PTS = 41
@@ -47,51 +47,42 @@ def select_thresholds(scores: np.ndarray, num_gt: int,
 
 
 def clean_data(gt: Dict, dt: Dict, current_class: int, difficulty: int):
-    """Ignore-level assignment (eval.py:35-87).
+    """Ignore-level assignment (eval.py:35-87), vectorized over objects
+    (this runs classes x difficulties x images times per eval; the
+    reference's per-object Python loop was ~12% of val-scale wall).
 
     Returns (num_valid_gt, ignored_gt, ignored_dt, dc_bboxes):
       ignored codes: 0 = count, 1 = ignore (neighbors/too-hard), -1 = skip.
     """
     cls_name = CLASS_NAMES[current_class].lower()
-    names_gt = [n.lower() for n in gt["name"]]
+    names_gt = np.char.lower(np.asarray(gt["name"], dtype=np.str_))
     heights = gt["bbox"][:, 3] - gt["bbox"][:, 1]
 
+    # valid: 1 = the class itself, 0 = neighbor class, -1 = other.
+    valid = np.where(names_gt == cls_name, 1, -1)
+    if cls_name == "pedestrian":
+        valid = np.where(names_gt == "person_sitting", 0, valid)
+    elif cls_name == "car":
+        valid = np.where(names_gt == "van", 0, valid)
+    too_hard = (
+        (np.asarray(gt["occluded"]) > MAX_OCCLUSION[difficulty])
+        | (np.asarray(gt["truncated"]) > MAX_TRUNCATION[difficulty])
+        | (heights <= MIN_HEIGHT[difficulty])
+    )
+    counted = (valid == 1) & ~too_hard
     ignored_gt = np.full(len(names_gt), -1, dtype=np.int64)
-    num_valid = 0
-    dc_boxes = []
-    for i, name in enumerate(names_gt):
-        if name == cls_name:
-            valid = 1
-        elif cls_name == "pedestrian" and name == "person_sitting":
-            valid = 0
-        elif cls_name == "car" and name == "van":
-            valid = 0
-        else:
-            valid = -1
-        too_hard = (
-            gt["occluded"][i] > MAX_OCCLUSION[difficulty]
-            or gt["truncated"][i] > MAX_TRUNCATION[difficulty]
-            or heights[i] <= MIN_HEIGHT[difficulty]
-        )
-        if valid == 1 and not too_hard:
-            ignored_gt[i] = 0
-            num_valid += 1
-        elif valid == 0 or (too_hard and valid == 1):
-            ignored_gt[i] = 1
-        if gt["name"][i] == "DontCare":
-            dc_boxes.append(gt["bbox"][i])
+    ignored_gt[counted] = 0
+    ignored_gt[(valid == 0) | ((valid == 1) & too_hard)] = 1
+    num_valid = int(counted.sum())
+    dc_mask = np.asarray(gt["name"]) == "DontCare"
+    dc = gt["bbox"][dc_mask].astype(np.float64).reshape(-1, 4)
 
     dt_heights = np.abs(dt["bbox"][:, 3] - dt["bbox"][:, 1])
-    names_dt = [n.lower() for n in dt["name"]]
-    ignored_dt = np.full(len(names_dt), -1, dtype=np.int64)
-    for j, name in enumerate(names_dt):
-        if dt_heights[j] < MIN_HEIGHT[difficulty]:
-            ignored_dt[j] = 1
-        elif name == cls_name:
-            ignored_dt[j] = 0
-
-    dc = (np.stack(dc_boxes).astype(np.float64) if dc_boxes
-          else np.zeros((0, 4), np.float64))
+    names_dt = np.char.lower(np.asarray(dt["name"], dtype=np.str_))
+    ignored_dt = np.where(
+        dt_heights < MIN_HEIGHT[difficulty], np.int64(1),
+        np.where(names_dt == cls_name, np.int64(0), np.int64(-1)),
+    )
     return num_valid, ignored_gt, ignored_dt, dc
 
 
@@ -167,6 +158,75 @@ def compute_overlap(gt: Dict, dt: Dict, metric: int) -> np.ndarray:
     if metric == 2:
         return d3_box_overlap(camera_boxes(dt), camera_boxes(gt))
     raise ValueError(metric)
+
+
+# Flat-pair chunk size for the batched rotated-IoU sweep: bounds the
+# (P, _MAX_V, 2) float64 clip buffers (~100 MB peak per chunk).
+_PAIR_CHUNK = 262_144
+
+
+def compute_overlaps_all(gt_annos: List[Dict], dt_annos: List[Dict],
+                         metric: int) -> List[np.ndarray]:
+    """Every image's (num_dt, num_gt) overlap matrix in ONE batched
+    rotated-IoU sweep.
+
+    Identical results to ``[compute_overlap(gt_i, dt_i, metric)]`` — the
+    clip kernel is already vectorized over pairs, so flattening all
+    images' pair grids removes the 3769-iteration Python loop that
+    dominated val-scale eval wall time (~9.6 s of 18.5 s; the reference
+    instead launches one numba.cuda kernel per image,
+    eval.py:128-133/347-422). Metric 0's axis-aligned IoU stays
+    per-image (vectorized and cheap).
+    """
+    n_img = len(gt_annos)
+    if metric == 0:
+        return [image_box_overlap(dt_annos[i]["bbox"], gt_annos[i]["bbox"])
+                for i in range(n_img)]
+    to_boxes = bev_boxes if metric == 1 else camera_boxes
+    dts = [to_boxes(d) for d in dt_annos]
+    gts = [to_boxes(g) for g in gt_annos]
+
+    # Flatten every image's (num_dt x num_gt) pair grid, row-major.
+    d_flat = np.concatenate(
+        [np.repeat(d, g.shape[0], axis=0) for d, g in zip(dts, gts)]
+        or [np.zeros((0, dts[0].shape[1] if dts else 5))])
+    g_flat = np.concatenate(
+        [np.tile(g, (d.shape[0], 1)) for d, g in zip(dts, gts)]
+        or [np.zeros_like(d_flat)])
+
+    chunks = []
+    for lo in range(0, len(d_flat), _PAIR_CHUNK):
+        d_c = d_flat[lo:lo + _PAIR_CHUNK]
+        g_c = g_flat[lo:lo + _PAIR_CHUNK]
+        if metric == 1:
+            chunks.append(rotate_iou_pairs(d_c, g_c).astype(np.float64))
+        else:
+            chunks.append(_d3_overlap_pairs(d_c, g_c))
+    flat = (np.concatenate(chunks) if chunks
+            else np.zeros(0, dtype=np.float64))
+
+    out, pos = [], 0
+    for d, g in zip(dts, gts):
+        cnt = d.shape[0] * g.shape[0]
+        out.append(flat[pos:pos + cnt].reshape(d.shape[0], g.shape[0]))
+        pos += cnt
+    return out
+
+
+def _d3_overlap_pairs(boxes: np.ndarray, qboxes: np.ndarray) -> np.ndarray:
+    """Pairwise (aligned) 3D overlap — the elementwise form of
+    :func:`d3_box_overlap` at criterion -1."""
+    rinc = rotate_iou_pairs(
+        boxes[:, [0, 2, 3, 5, 6]], qboxes[:, [0, 2, 3, 5, 6]], 2
+    ).astype(np.float64)
+    iw = (np.minimum(boxes[:, 1], qboxes[:, 1])
+          - np.maximum(boxes[:, 1] - boxes[:, 4],
+                       qboxes[:, 1] - qboxes[:, 4]))
+    vol1 = boxes[:, 3] * boxes[:, 4] * boxes[:, 5]
+    vol2 = qboxes[:, 3] * qboxes[:, 4] * qboxes[:, 5]
+    inc = np.where(iw > 0, iw * rinc, 0.0)
+    denom = vol1 + vol2 - inc
+    return np.where((rinc > 0) & (iw > 0), inc / denom, 0.0)
 
 
 NO_DETECTION = -10_000_000.0
@@ -286,10 +346,7 @@ def eval_class(
 
     assert len(gt_annos) == len(dt_annos)
     num_images = len(gt_annos)
-    overlaps = [
-        compute_overlap(gt_annos[i], dt_annos[i], metric)
-        for i in range(num_images)
-    ]
+    overlaps = compute_overlaps_all(gt_annos, dt_annos, metric)
 
     shape = (len(current_classes), len(difficultys),
              min_overlaps.shape[0], N_SAMPLE_PTS)

@@ -100,6 +100,47 @@ def _clip_by_edge(pts, count, a, b):
     return out.reshape(pts.shape), out_count.reshape(count.shape)
 
 
+def rotate_iou_pairs(
+    boxes: np.ndarray, qboxes: np.ndarray, criterion: int = -1
+) -> np.ndarray:
+    """Elementwise rotated overlap for P aligned pairs: (P,5),(P,5)->(P,).
+
+    Same math and argument-order quirk as :func:`rotate_iou_matrix`
+    (element p == matrix[n,k] for boxes[p]=boxes_n, qboxes[p]=qboxes_k);
+    used to batch EVERY image's overlap matrix of an eval into one kernel
+    call (protocol.compute_overlaps_all) instead of 3769 per-image calls.
+    """
+    p = boxes.shape[0]
+    if p == 0:
+        return np.zeros((0,), dtype=np.float32)
+
+    c1 = rbbox_corners(boxes.astype(np.float64))      # (P, 4, 2)
+    c2 = rbbox_corners(qboxes.astype(np.float64))
+
+    subj = np.zeros((p, _MAX_V, 2))
+    subj[:, :4] = c1
+    count = np.full(p, 4, dtype=np.int64)
+    for e in range(4):
+        subj, count = _clip_by_edge(subj, count, c2[:, e],
+                                    c2[:, (e + 1) % 4])
+
+    inter = _polygon_area(subj, count)
+    inter = np.where(count >= 3, inter, 0.0)
+
+    area1 = (boxes[:, 2] * boxes[:, 3]).astype(np.float64)
+    area2 = (qboxes[:, 2] * qboxes[:, 3]).astype(np.float64)
+    if criterion == -1:
+        denom = area1 + area2 - inter
+    elif criterion == 0:
+        denom = area2  # reference arg-order quirk, see rotate_iou_matrix
+    elif criterion == 1:
+        denom = area1
+    else:
+        return inter.astype(np.float32)
+    out = np.where(denom > 0, inter / np.where(denom == 0, 1, denom), 0.0)
+    return out.astype(np.float32)
+
+
 def rotate_iou_matrix(
     boxes: np.ndarray, qboxes: np.ndarray, criterion: int = -1
 ) -> np.ndarray:

@@ -129,9 +129,16 @@ def stage_attribution(gt_annos, dt_annos, classes=(0, 1, 2)):
     out = {}
 
     t0 = time.perf_counter()
-    overlaps = [protocol.compute_overlap(gt_annos[i], dt_annos[i], 2)
-                for i in range(n)]
+    overlaps = protocol.compute_overlaps_all(gt_annos, dt_annos, 2)
     out["overlap_matrices_3d"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    protocol.compute_overlaps_all(gt_annos[:400], dt_annos[:400], 2)
+    batched_400 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    [protocol.compute_overlap(gt_annos[i], dt_annos[i], 2)
+     for i in range(400)]
+    out["overlap_3d_per_image_vs_batched_400img"] = (
+        round(time.perf_counter() - t0, 2), round(batched_400, 2))
 
     t0 = time.perf_counter()
     cleaned_all = {}
@@ -214,7 +221,7 @@ def main():
     record["stages_3d"] = stages
     print("stage attribution (3D metric, all cls x diff x 2 regimes):")
     for k, v in stages.items():
-        print(f"  {k:>22}: {v:7.2f}s")
+        print(f"  {k:>38}: {v}")
 
     # Pure-Python fallback on a subset, extrapolated.
     sub = args.python_subset

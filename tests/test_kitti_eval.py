@@ -138,6 +138,30 @@ def test_cpp_thresh_scores_matches_python(cpp_lib, rng):
                 )
 
 
+def test_batched_overlaps_match_per_image():
+    """compute_overlaps_all (one flattened rotated-IoU sweep over every
+    image's pair grid) must equal per-image compute_overlap exactly,
+    including images with zero gts or zero dts."""
+    from monocon_tpu.eval.protocol import compute_overlaps_all
+
+    rng2 = np.random.default_rng(7)
+    gts, dts = random_scene(rng2, num_images=6, jitter=1.0, drop=0.3)
+    # an image with no detections and one with no gts
+    empty = make_anno([], np.zeros((0, 4)))
+    gts.append(gts[0])
+    dts.append(empty)
+    gts.append(empty)
+    dts.append(dts[0])
+
+    for metric in (0, 1, 2):
+        batched = compute_overlaps_all(gts, dts, metric)
+        for i, (g, d) in enumerate(zip(gts, dts)):
+            ref = compute_overlap(g, d, metric)
+            assert batched[i].shape == ref.shape
+            np.testing.assert_array_equal(
+                batched[i], ref, err_msg=f"metric={metric} img={i}")
+
+
 def test_perfect_detection_ap40_is_100(rng):
     # Need >= 41 valid GT per class so the 41 recall points are all
     # reachable (with fewer GT, AP40 is undersampled by construction —
