@@ -23,7 +23,7 @@ from monocon_tpu.ops.image_norm import normalize_if_raw
 from monocon_tpu.models import create_detector_state
 from monocon_tpu.ops.decode import decode_predictions
 from monocon_tpu.utils import split_batch_detections, to_vis_format, tprint
-from monocon_tpu.utils.streaming import pipelined_frames
+from monocon_tpu.utils.streaming import BatchedFrames, pipelined_frames
 from monocon_tpu.utils.visualizer import Visualizer
 
 
@@ -41,6 +41,12 @@ def parse_args():
     parser.add_argument("--fps", type=int, default=25,
                         help="FPS of the result video (reference default)")
     parser.add_argument("--score_threshold", type=float, default=0.4)
+    parser.add_argument("--batch", type=int, default=1,
+                        help="frames per device step. 1 = lowest-latency "
+                             "online streaming; larger batches trade "
+                             "latency for throughput when re-detecting a "
+                             "recorded drive offline (the v5e forward runs "
+                             "~3.4x more img/s at B=128 than at B=1)")
     return parser.parse_args()
 
 
@@ -64,32 +70,11 @@ def main():
         pred = model.apply(variables, image, train=False)
         return decode_predictions(pred, p2, pad_hw)
 
-    def infer(sample):
-        """Dispatch one frame; returns device arrays WITHOUT forcing them."""
-        p2 = jnp.asarray(sample["calib"][0].P2[None].astype(np.float32))
-        # img_metas values carry the fake batch dim already (kitti_raw.py
-        # wraps every meta in a 1-element list), so this is (1, 2).
-        img_hw = jnp.asarray(
-            np.array(sample["img_metas"]["unpadded_shape"], np.int32)
-        )
-        return forward(variables, jnp.asarray(sample["img"]), p2, img_hw)
-
-    def finalize(decoded, sample):
-        """Force D2H + vis conversion (runs while the NEXT frame computes)."""
-        per_image = split_batch_detections(
-            {k: np.asarray(v) for k, v in decoded.items()},
-            args.score_threshold,
-        )
-        return to_vis_format(per_image)
-
-    # Software-pipelined streaming: frame decode (threads), device compute,
-    # and D2H/vis conversion overlap — see monocon_tpu/utils/streaming.py.
-    # Warm up the jit cache outside the timed window, and force the result
-    # so the device queue is drained when the timer starts. The compile
-    # covers frame 0's padded shape only — assert the drive is
-    # uniform-resolution (KITTI drives are) so no recompile can land
-    # inside the timed loop and poison the fps number.
-    jax.block_until_ready(infer(dataset[0]))
+    # All frames of a drive must share one resolution (KITTI drives do):
+    # one jit shape = one compile, and the last partial batch is padded by
+    # frame repetition. frame_shape reads PNG headers only, so checking
+    # the whole drive is cheap. A mixed-resolution drive would recompile
+    # (~minutes on TPU) inside the timed loop and poison the fps number.
     raw_hw0 = dataset.frame_shape(0)
     mismatched = [
         i for i in range(1, len(dataset))
@@ -98,18 +83,53 @@ def main():
     if mismatched:
         raise SystemExit(
             f"{len(mismatched)} frame(s) (first: {mismatched[:5]}) differ "
-            f"from frame 0's {raw_hw0} resolution; a mixed-resolution drive "
-            "would recompile (~minutes on TPU) inside the timed loop"
+            f"from frame 0's {raw_hw0} resolution; pad-free batching and "
+            "single-compile streaming need a uniform-resolution drive"
         )
+
+    # The calib and padded extent are drive-wide constants: upload once.
+    sample0 = dataset[0]
+    p2 = jnp.asarray(np.tile(
+        sample0["calib"][0].P2[None].astype(np.float32), (args.batch, 1, 1)
+    ))
+    # img_metas values carry the fake batch dim already (kitti_raw.py
+    # wraps every meta in a 1-element list), so this tiles (1,2) -> (b,2).
+    img_hw = jnp.asarray(np.tile(
+        np.array(sample0["img_metas"]["unpadded_shape"], np.int32),
+        (args.batch, 1),
+    ))
+    frames = BatchedFrames(dataset, args.batch)
+
+    def infer(batch):
+        """Dispatch one frame batch; returns device arrays WITHOUT
+        forcing them."""
+        return forward(variables, jnp.asarray(batch["img"]), p2, img_hw)
+
+    def finalize(decoded, batch):
+        """Force D2H + vis conversion (runs while the NEXT batch
+        computes); padded repeat-frames are dropped via ``count``."""
+        per_image = split_batch_detections(
+            {k: np.asarray(v) for k, v in decoded.items()},
+            args.score_threshold,
+        )
+        return to_vis_format(per_image[: batch["count"]])
+
+    # Software-pipelined streaming: frame decode (threads), device compute,
+    # and D2H/vis conversion overlap — see monocon_tpu/utils/streaming.py.
+    # Warm up the jit cache outside the timed window, and force the result
+    # so the device queue is drained when the timer starts.
+    jax.block_until_ready(infer(frames[0]))
     t0 = time.perf_counter()
     results = []
-    for vis in pipelined_frames(dataset, infer, finalize):
+    for vis in pipelined_frames(frames, infer, finalize):
         results.extend(vis)
     stream_s = time.perf_counter() - t0
     tprint(
         f"Streamed {len(dataset)} frames in {stream_s:.2f}s "
         f"({len(dataset) / stream_s:.1f} fps end-to-end: decode + "
-        f"forward + 3D decode, pipelined)."
+        f"forward + 3D decode, pipelined"
+        + (f", batch {args.batch}" if args.batch > 1 else "")
+        + ")."
     )
 
     visualizer = Visualizer(dataset, results)

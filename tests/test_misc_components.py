@@ -250,3 +250,51 @@ def test_visualizer_get_labels(tmp_path):
     np.testing.assert_array_equal(bboxes, ds[0]["label"]["gt_bboxes"][mask])
     (only,) = vis.get_labels(0, "gt_labels")
     np.testing.assert_array_equal(only, labels)
+
+
+def test_batched_frames_stacking_and_pipeline():
+    """BatchedFrames stacks per-frame (1,H,W,C) samples into fixed-shape
+    batches, pads the tail by frame repetition, and composes with
+    pipelined_frames so batched results equal the per-frame ones
+    (test_raw.py --batch N)."""
+    from monocon_tpu.utils.streaming import BatchedFrames, pipelined_frames
+
+    class Frames:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            img = np.full((1, 4, 6, 3), i, np.uint8)
+            return {"img": img}
+
+    ds = Frames()
+    bf = BatchedFrames(ds, 3)
+    assert len(bf) == 3  # ceil(7 / 3)
+    b0, b2 = bf[0], bf[2]
+    assert b0["img"].shape == (3, 4, 6, 3) and b0["count"] == 3
+    np.testing.assert_array_equal(b0["img"][:, 0, 0, 0], [0, 1, 2])
+    # final partial batch: one real frame + two repeats, count = 1
+    assert b2["img"].shape == (3, 4, 6, 3) and b2["count"] == 1
+    np.testing.assert_array_equal(b2["img"][:, 0, 0, 0], [6, 6, 6])
+    with pytest.raises(IndexError):
+        bf[3]
+    with pytest.raises(ValueError):
+        BatchedFrames(ds, 0)
+
+    def infer(batch):
+        return batch["img"].astype(np.float32) * 2.0  # stand-in device op
+
+    def finalize(decoded, batch):
+        return [decoded[i] for i in range(batch["count"])]
+
+    batched = []
+    for vis in pipelined_frames(bf, infer, finalize):
+        batched.extend(vis)
+    per_frame = []
+    for vis in pipelined_frames(
+        BatchedFrames(ds, 1), infer, finalize
+    ):
+        per_frame.extend(vis)
+    assert len(batched) == len(per_frame) == 7
+    for a, b in zip(batched, per_frame):
+        np.testing.assert_array_equal(a, b)
