@@ -217,3 +217,130 @@ int64_t thresh_scores(const double* overlaps, const int64_t* overlap_offsets,
 }
 
 }  // extern "C"
+
+// Rotated-rectangle overlap for P aligned box pairs — the C++ twin of
+// rotate_iou.py::rotate_iou_pairs (the numpy Sutherland–Hodgman clip),
+// replacing the reference's numba.cuda kernel
+// (engine/kitti_eval/rotate_iou.py:337-379) on the host eval path.
+//
+// Bit-exactness contract: this reproduces the numpy implementation's
+// floating-point operation order exactly (same corner formulas, the same
+// guarded segment-intersection parameter, and numpy's 8-accumulator
+// pairwise order for the 10-slot shoelace sum), so outputs are
+// bit-identical float32 to the Python path — tested by
+// tests/test_rotate_iou_golden.py. Requires -ffp-contract=off (no FMA
+// contraction); see native.py's build flags.
+
+namespace {
+
+constexpr int kMaxV = 10;  // quad ∩ quad has <= 8 vertices + slack
+
+struct Pt {
+  double x, y;
+};
+
+// (cx, cy, w, h, angle) -> 4 corners, CCW, clockwise rotation
+// (rotate_iou.py::rbbox_corners).
+inline void rbbox_corners_one(const double* b, Pt* c) {
+  const double cx = b[0], cy = b[1], w = b[2], h = b[3];
+  const double cosa = std::cos(b[4]), sina = std::sin(b[4]);
+  const double dx[4] = {(-w) / 2.0, w / 2.0, w / 2.0, (-w) / 2.0};
+  const double dy[4] = {(-h) / 2.0, (-h) / 2.0, h / 2.0, h / 2.0};
+  for (int i = 0; i < 4; ++i) {
+    c[i].x = cosa * dx[i] + sina * dy[i] + cx;
+    c[i].y = -sina * dx[i] + cosa * dy[i] + cy;
+  }
+}
+
+// One Sutherland–Hodgman pass: clip polygon (pts, count) by the half-plane
+// left of edge a->b, emitting (kept vertex, crossing intersection) pairs in
+// edge order exactly like rotate_iou.py::_clip_by_edge.
+inline void clip_by_edge(const Pt* pts, int count, Pt a, Pt b, Pt* out,
+                         int* out_count) {
+  const double abx = b.x - a.x, aby = b.y - a.y;
+  double side[kMaxV];
+  for (int i = 0; i < count; ++i) {
+    side[i] = abx * (pts[i].y - a.y) - aby * (pts[i].x - a.x);
+  }
+  int n = 0;
+  for (int i = 0; i < count; ++i) {
+    const int j = (i == count - 1) ? 0 : i + 1;
+    const bool inside_i = side[i] >= 0.0;
+    const bool inside_j = side[j] >= 0.0;
+    if (inside_i && n < kMaxV) out[n++] = pts[i];
+    if (inside_i != inside_j && n < kMaxV) {
+      const double denom = side[i] - side[j];
+      const double t = (std::fabs(denom) > 1e-12)
+                           ? side[i] / (denom == 0.0 ? 1.0 : denom)
+                           : 0.0;
+      out[n].x = pts[i].x + t * (pts[j].x - pts[i].x);
+      out[n].y = pts[i].y + t * (pts[j].y - pts[i].y);
+      ++n;
+    }
+  }
+  *out_count = n;
+}
+
+// Shoelace area of the padded polygon, summing the 10 edge cross terms in
+// numpy's pairwise-reduction order for n=10 (8 unrolled accumulators
+// combined as ((r0+r1)+(r2+r3))+((r4+r5)+(r6+r7)), then += c8, += c9) so
+// the result is bit-identical to rotate_iou.py::_polygon_area.
+inline double polygon_area(const Pt* pts, int count) {
+  double c[kMaxV] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < count; ++i) {
+    const int j = (i == count - 1) ? 0 : i + 1;
+    c[i] = pts[i].x * pts[j].y - pts[j].x * pts[i].y;
+  }
+  double res = ((c[0] + c[1]) + (c[2] + c[3])) + ((c[4] + c[5]) + (c[6] + c[7]));
+  res += c[8];
+  res += c[9];
+  return 0.5 * std::fabs(res);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Elementwise rotated overlap for P aligned pairs (rotate_iou_pairs):
+//   boxes, qboxes: (P, 5) float64 [cx, cy, w, h, angle]
+//   area1, area2:  (P,) float64 (precomputed in the caller's input dtype,
+//                  preserving the Python path's f32-multiply-then-widen)
+//   criterion: -1 IoU, 0 inter/area2, 1 inter/area1 (the reference
+//              arg-order quirk), 2 raw intersection.
+//   out: (P,) float32
+void rotate_pairs_kernel(const double* boxes, const double* qboxes,
+                         const double* area1, const double* area2, int64_t p,
+                         int64_t criterion, float* out) {
+  for (int64_t k = 0; k < p; ++k) {
+    Pt c1[4], c2[4];
+    rbbox_corners_one(boxes + 5 * k, c1);
+    rbbox_corners_one(qboxes + 5 * k, c2);
+
+    Pt poly[kMaxV], next[kMaxV];
+    int count = 4;
+    for (int i = 0; i < 4; ++i) poly[i] = c1[i];
+    for (int e = 0; e < 4; ++e) {
+      clip_by_edge(poly, count, c2[e], c2[(e + 1) % 4], next, &count);
+      for (int i = 0; i < count; ++i) poly[i] = next[i];
+    }
+
+    double inter = (count >= 3) ? polygon_area(poly, count) : 0.0;
+    if (criterion == 2) {
+      out[k] = static_cast<float>(inter);
+      continue;
+    }
+    double denom;
+    if (criterion == -1) {
+      denom = area1[k] + area2[k] - inter;
+    } else if (criterion == 0) {
+      denom = area2[k];
+    } else {
+      denom = area1[k];
+    }
+    const double o =
+        (denom > 0.0) ? inter / (denom == 0.0 ? 1.0 : denom) : 0.0;
+    out[k] = static_cast<float>(o);
+  }
+}
+
+}  // extern "C"

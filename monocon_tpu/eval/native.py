@@ -23,9 +23,12 @@ _tried = False
 
 
 def _build() -> bool:
+    # -ffp-contract=off: the rotated-IoU kernel's bit-exactness contract
+    # with the numpy path (rotate_iou.py) forbids FMA contraction.
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH],
+            ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+             _SRC, "-o", _LIB_PATH],
             check=True, capture_output=True,
         )
         return True
@@ -71,6 +74,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_double,
         c_double_p,                      # out_scores (>= total_gt)
     ]
+    lib.rotate_pairs_kernel.restype = None
+    lib.rotate_pairs_kernel.argtypes = [
+        c_double_p, c_double_p,          # boxes (P,5), qboxes (P,5)
+        c_double_p, c_double_p,          # area1 (P,), area2 (P,)
+        ctypes.c_int64, ctypes.c_int64,  # P, criterion
+        ctypes.POINTER(ctypes.c_float),  # out (P,)
+    ]
     _lib = lib
     return _lib
 
@@ -85,6 +95,35 @@ def _ptr_i(a: np.ndarray):
 
 def _offsets(counts: List[int]) -> np.ndarray:
     return np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+
+def rotate_pairs_native(
+    boxes64: np.ndarray, qboxes64: np.ndarray,
+    area1: np.ndarray, area2: np.ndarray, criterion: int,
+) -> Optional[np.ndarray]:
+    """Elementwise rotated overlap for P aligned pairs via the C++ kernel
+    (``rotate_pairs_kernel``), or None when the library is unavailable.
+
+    Inputs must be float64 (the caller — rotate_iou.rotate_iou_pairs —
+    owns the dtype quirks: areas are multiplied in the original input
+    dtype, then widened). Outputs are bit-identical float32 to the numpy
+    clip path; see the kernel's bit-exactness contract in
+    cpp/kitti_match.cpp."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = boxes64.shape[0]
+    boxes64 = np.ascontiguousarray(boxes64, np.float64)
+    qboxes64 = np.ascontiguousarray(qboxes64, np.float64)
+    area1 = np.ascontiguousarray(area1, np.float64)
+    area2 = np.ascontiguousarray(area2, np.float64)
+    out = np.empty(p, np.float32)
+    lib.rotate_pairs_kernel(
+        _ptr_d(boxes64), _ptr_d(qboxes64), _ptr_d(area1), _ptr_d(area2),
+        p, int(criterion),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
 
 
 def batch_match(

@@ -46,17 +46,33 @@ def select_thresholds(scores: np.ndarray, num_gt: int,
     return np.array(thresholds)
 
 
-def clean_data(gt: Dict, dt: Dict, current_class: int, difficulty: int):
-    """Ignore-level assignment (eval.py:35-87), vectorized over objects
-    (this runs classes x difficulties x images times per eval; the
-    reference's per-object Python loop was ~12% of val-scale wall).
+def _clean_cache(gt: Dict, dt: Dict) -> Dict[str, np.ndarray]:
+    """The class/difficulty-invariant inputs of :func:`clean_data` for one
+    image. ``eval_class`` runs clean_data classes x difficulties (9x)
+    times per image; the string lowering and DontCare collection here are
+    the expensive part, so hoisting them cuts val-scale clean time ~5x."""
+    return {
+        "names_gt": np.char.lower(np.asarray(gt["name"], dtype=np.str_)),
+        "heights_gt": gt["bbox"][:, 3] - gt["bbox"][:, 1],
+        "occluded": np.asarray(gt["occluded"]),
+        "truncated": np.asarray(gt["truncated"]),
+        "dc": gt["bbox"][np.asarray(gt["name"]) == "DontCare"]
+              .astype(np.float64).reshape(-1, 4),
+        "names_dt": np.char.lower(np.asarray(dt["name"], dtype=np.str_)),
+        "heights_dt": np.abs(dt["bbox"][:, 3] - dt["bbox"][:, 1]),
+    }
 
-    Returns (num_valid_gt, ignored_gt, ignored_dt, dc_bboxes):
+
+def _clean_from_cache(cache: Dict[str, np.ndarray], current_class: int,
+                      difficulty: int):
+    """Ignore-level assignment from a prepared cache — the variable part
+    of :func:`clean_data` (eval.py:35-87), vectorized over objects.
+
+    Returns (num_valid_gt, ignored_gt, ignored_dt):
       ignored codes: 0 = count, 1 = ignore (neighbors/too-hard), -1 = skip.
     """
     cls_name = CLASS_NAMES[current_class].lower()
-    names_gt = np.char.lower(np.asarray(gt["name"], dtype=np.str_))
-    heights = gt["bbox"][:, 3] - gt["bbox"][:, 1]
+    names_gt = cache["names_gt"]
 
     # valid: 1 = the class itself, 0 = neighbor class, -1 = other.
     valid = np.where(names_gt == cls_name, 1, -1)
@@ -65,25 +81,35 @@ def clean_data(gt: Dict, dt: Dict, current_class: int, difficulty: int):
     elif cls_name == "car":
         valid = np.where(names_gt == "van", 0, valid)
     too_hard = (
-        (np.asarray(gt["occluded"]) > MAX_OCCLUSION[difficulty])
-        | (np.asarray(gt["truncated"]) > MAX_TRUNCATION[difficulty])
-        | (heights <= MIN_HEIGHT[difficulty])
+        (cache["occluded"] > MAX_OCCLUSION[difficulty])
+        | (cache["truncated"] > MAX_TRUNCATION[difficulty])
+        | (cache["heights_gt"] <= MIN_HEIGHT[difficulty])
     )
     counted = (valid == 1) & ~too_hard
     ignored_gt = np.full(len(names_gt), -1, dtype=np.int64)
     ignored_gt[counted] = 0
     ignored_gt[(valid == 0) | ((valid == 1) & too_hard)] = 1
     num_valid = int(counted.sum())
-    dc_mask = np.asarray(gt["name"]) == "DontCare"
-    dc = gt["bbox"][dc_mask].astype(np.float64).reshape(-1, 4)
 
-    dt_heights = np.abs(dt["bbox"][:, 3] - dt["bbox"][:, 1])
-    names_dt = np.char.lower(np.asarray(dt["name"], dtype=np.str_))
     ignored_dt = np.where(
-        dt_heights < MIN_HEIGHT[difficulty], np.int64(1),
-        np.where(names_dt == cls_name, np.int64(0), np.int64(-1)),
+        cache["heights_dt"] < MIN_HEIGHT[difficulty], np.int64(1),
+        np.where(cache["names_dt"] == cls_name, np.int64(0), np.int64(-1)),
     )
-    return num_valid, ignored_gt, ignored_dt, dc
+    return num_valid, ignored_gt, ignored_dt
+
+
+def clean_data(gt: Dict, dt: Dict, current_class: int, difficulty: int):
+    """Ignore-level assignment (eval.py:35-87), vectorized over objects
+    (the reference's per-object Python loop was ~12% of val-scale wall).
+
+    Returns (num_valid_gt, ignored_gt, ignored_dt, dc_bboxes):
+      ignored codes: 0 = count, 1 = ignore (neighbors/too-hard), -1 = skip.
+    """
+    cache = _clean_cache(gt, dt)
+    num_valid, ignored_gt, ignored_dt = _clean_from_cache(
+        cache, current_class, difficulty
+    )
+    return num_valid, ignored_gt, ignored_dt, cache["dc"]
 
 
 def image_box_overlap(boxes: np.ndarray, qboxes: np.ndarray,
@@ -354,26 +380,35 @@ def eval_class(
     recall = np.zeros(shape)
     aos = np.zeros(shape)
 
+    # Everything except the ignore codes is class/difficulty-invariant:
+    # build the per-image caches and f64 views once, not 9x (a ~5x cut in
+    # the non-matching host time at val scale on a 1-core host).
+    caches = [_clean_cache(gt_annos[i], dt_annos[i])
+              for i in range(num_images)]
+    image_args = [
+        dict(
+            overlaps=overlaps[i],
+            gt_alphas=gt_annos[i]["alpha"].astype(np.float64),
+            dt_alphas=dt_annos[i]["alpha"].astype(np.float64),
+            dt_scores=dt_annos[i]["score"].astype(np.float64),
+            dt_bboxes=dt_annos[i]["bbox"].astype(np.float64),
+            ignored_gt=None,
+            ignored_dt=None,
+            dc_bboxes=caches[i]["dc"],
+        )
+        for i in range(num_images)
+    ]
+
     for m, cls in enumerate(current_classes):
         for d, difficulty in enumerate(difficultys):
-            cleaned = [
-                clean_data(gt_annos[i], dt_annos[i], cls, difficulty)
-                for i in range(num_images)
-            ]
-            total_valid_gt = sum(c[0] for c in cleaned)
-            image_args = [
-                dict(
-                    overlaps=overlaps[i],
-                    gt_alphas=gt_annos[i]["alpha"].astype(np.float64),
-                    dt_alphas=dt_annos[i]["alpha"].astype(np.float64),
-                    dt_scores=dt_annos[i]["score"].astype(np.float64),
-                    dt_bboxes=dt_annos[i]["bbox"].astype(np.float64),
-                    ignored_gt=cleaned[i][1],
-                    ignored_dt=cleaned[i][2],
-                    dc_bboxes=cleaned[i][3],
+            total_valid_gt = 0
+            for i in range(num_images):
+                num_valid, ignored_gt, ignored_dt = _clean_from_cache(
+                    caches[i], cls, difficulty
                 )
-                for i in range(num_images)
-            ]
+                total_valid_gt += num_valid
+                image_args[i]["ignored_gt"] = ignored_gt
+                image_args[i]["ignored_dt"] = ignored_dt
             for k in range(min_overlaps.shape[0]):
                 min_overlap = float(min_overlaps[k, metric, m])
                 if total_valid_gt == 0:

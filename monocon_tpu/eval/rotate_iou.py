@@ -101,7 +101,8 @@ def _clip_by_edge(pts, count, a, b):
 
 
 def rotate_iou_pairs(
-    boxes: np.ndarray, qboxes: np.ndarray, criterion: int = -1
+    boxes: np.ndarray, qboxes: np.ndarray, criterion: int = -1,
+    force_python: bool = False,
 ) -> np.ndarray:
     """Elementwise rotated overlap for P aligned pairs: (P,5),(P,5)->(P,).
 
@@ -109,10 +110,29 @@ def rotate_iou_pairs(
     (element p == matrix[n,k] for boxes[p]=boxes_n, qboxes[p]=qboxes_k);
     used to batch EVERY image's overlap matrix of an eval into one kernel
     call (protocol.compute_overlaps_all) instead of 3769 per-image calls.
+
+    Dispatches to the C++ kernel (native.rotate_pairs_native) when the
+    library builds — bit-identical float32 results (tested), ~an order of
+    magnitude faster at val scale on a 1-core host — with this numpy
+    implementation as the always-available fallback and reference.
     """
     p = boxes.shape[0]
     if p == 0:
         return np.zeros((0,), dtype=np.float32)
+
+    if not force_python:
+        from .native import rotate_pairs_native
+
+        # Areas multiply in the input dtype, THEN widen (the numpy path's
+        # behavior below) — keep that quirk out of the kernel.
+        out = rotate_pairs_native(
+            boxes.astype(np.float64), qboxes.astype(np.float64),
+            (boxes[:, 2] * boxes[:, 3]).astype(np.float64),
+            (qboxes[:, 2] * qboxes[:, 3]).astype(np.float64),
+            criterion,
+        )
+        if out is not None:
+            return out
 
     c1 = rbbox_corners(boxes.astype(np.float64))      # (P, 4, 2)
     c2 = rbbox_corners(qboxes.astype(np.float64))

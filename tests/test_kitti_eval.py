@@ -138,6 +138,53 @@ def test_cpp_thresh_scores_matches_python(cpp_lib, rng):
                 )
 
 
+def test_cpp_rotate_pairs_bit_identical(cpp_lib):
+    """The C++ rotated-IoU pair kernel (rotate_pairs_kernel) is
+    bit-identical float32 to the numpy Sutherland-Hodgman path for every
+    criterion — including knife-edge geometries (identical boxes, shared
+    edges/corners, 45-degree stars, zero-size boxes) where a different
+    fp operation order would first show. The kernel replicates numpy's
+    corner formulas, guarded segment-intersection parameter, and
+    pairwise-sum order (see cpp/kitti_match.cpp)."""
+    from monocon_tpu.eval.rotate_iou import rotate_iou_pairs
+
+    rng2 = np.random.default_rng(11)
+    p = 50_000
+    for dtype in (np.float32, np.float64):
+        b = np.stack([rng2.uniform(-40, 40, p), rng2.uniform(0, 70, p),
+                      rng2.uniform(0.2, 6, p), rng2.uniform(0.2, 6, p),
+                      rng2.uniform(-np.pi, np.pi, p)], -1).astype(dtype)
+        q = np.stack([b[:, 0] + rng2.uniform(-3, 3, p),
+                      b[:, 1] + rng2.uniform(-3, 3, p),
+                      rng2.uniform(0.2, 6, p), rng2.uniform(0.2, 6, p),
+                      rng2.uniform(-np.pi, np.pi, p)], -1).astype(dtype)
+        for crit in (-1, 0, 1, 2):
+            cpp = rotate_iou_pairs(b, q, crit)
+            py = rotate_iou_pairs(b, q, crit, force_python=True)
+            np.testing.assert_array_equal(
+                cpp, py, err_msg=f"dtype={dtype.__name__} crit={crit}")
+
+    edge = np.array([
+        [0, 0, 2, 2, 0], [0, 0, 2, 2, 0],          # identical boxes
+        [0, 0, 2, 2, 0], [2, 0, 2, 2, 0],          # shared edge
+        [0, 0, 2, 2, 0], [2, 2, 2, 2, 0],          # shared corner
+        [0, 0, 2, 2, 0], [0, 0, 2, 2, np.pi / 4],  # 45-degree star
+        [0, 0, 0, 0, 0], [0, 0, 2, 2, 0],          # zero-size box
+        [0, 0, 2, 2, 1e-9], [0, 0, 2, 2, 0],       # near-identical angle
+    ], np.float64).reshape(-1, 2, 5)
+    for crit in (-1, 0, 1, 2):
+        cpp = rotate_iou_pairs(edge[:, 0], edge[:, 1], crit)
+        py = rotate_iou_pairs(edge[:, 0], edge[:, 1], crit,
+                              force_python=True)
+        np.testing.assert_array_equal(cpp, py, err_msg=f"crit={crit}")
+    # sanity against geometry, not just self-consistency
+    iou = rotate_iou_pairs(edge[:, 0], edge[:, 1], -1)
+    # star intersection is the regular octagon 8(sqrt2-1); IoU reduces
+    # to exactly 1/sqrt2
+    np.testing.assert_allclose(
+        iou, [1.0, 0.0, 0.0, 1 / np.sqrt(2), 0.0, 1.0], atol=1e-6)
+
+
 def test_batched_overlaps_match_per_image():
     """compute_overlaps_all (one flattened rotated-IoU sweep over every
     image's pair grid) must equal per-image compute_overlap exactly,
