@@ -25,14 +25,23 @@ _tried = False
 def _build() -> bool:
     # -ffp-contract=off: the rotated-IoU kernel's bit-exactness contract
     # with the numpy path (rotate_iou.py) forbids FMA contraction.
+    # Compile to a per-pid temp path and rename into place: rename is
+    # atomic, so concurrent processes (pytest + a training engine, say)
+    # never dlopen a half-written library.
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
-             _SRC, "-o", _LIB_PATH],
+             _SRC, "-o", tmp],
             check=True, capture_output=True,
         )
+        os.replace(tmp, _LIB_PATH)
         return True
     except (OSError, subprocess.CalledProcessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
