@@ -28,6 +28,37 @@ def parse_cam_to_cam(path: str) -> np.ndarray:
     raise ValueError(f"P_rect_02 not found in {path}")
 
 
+def _jpeg_shape(f) -> Optional[tuple]:
+    """(h, w) from a JPEG's SOF segment via header seeks (no pixel
+    decode). ``f`` is positioned anywhere past the 2-byte SOI; returns
+    None on any malformed structure (caller falls back to cv2)."""
+    f.seek(2)
+    while True:
+        b = f.read(2)
+        if len(b) < 2 or b[0] != 0xFF:
+            return None
+        marker = b[1]
+        while marker == 0xFF:  # fill bytes before a marker are legal
+            nxt = f.read(1)
+            if not nxt:
+                return None
+            marker = nxt[0]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue  # standalone markers carry no length
+        seg = f.read(2)
+        if len(seg) < 2:
+            return None
+        length = int.from_bytes(seg, "big")
+        # SOF0-15 except DHT(C4)/JPG(C8)/DAC(CC): precision, height, width.
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            payload = f.read(5)
+            if len(payload) < 5:
+                return None
+            return (int.from_bytes(payload[1:3], "big"),
+                    int.from_bytes(payload[3:5], "big"))
+        f.seek(length - 2, 1)
+
+
 class KITTIRawDataset:
     def __init__(
         self,
@@ -50,15 +81,21 @@ class KITTIRawDataset:
     def frame_shape(self, idx: int) -> tuple:
         """Raw (h, w) of frame ``idx`` from the file header — no full
         decode, so checking a whole drive for uniform resolution (one jit
-        shape = one compile) is cheap. PNG reads IHDR; other formats fall
-        back to a full decode."""
+        shape = one compile) is cheap. PNG reads IHDR, JPEG walks the
+        segment list to a SOF marker; other formats fall back to a full
+        decode (so a whole-drive sweep over them decodes every frame —
+        callers should early-exit on the first mismatch)."""
         path = self.image_files[idx]
         with open(path, "rb") as f:
             head = f.read(26)
-        if head[:8] == b"\x89PNG\r\n\x1a\n":
-            w = int.from_bytes(head[16:20], "big")
-            h = int.from_bytes(head[20:24], "big")
-            return (h, w)
+            if head[:8] == b"\x89PNG\r\n\x1a\n":
+                w = int.from_bytes(head[16:20], "big")
+                h = int.from_bytes(head[20:24], "big")
+                return (h, w)
+            if head[:2] == b"\xff\xd8":
+                hw = _jpeg_shape(f)
+                if hw is not None:
+                    return hw
         img = cv2.imread(path)
         if img is None:
             raise FileNotFoundError(path)

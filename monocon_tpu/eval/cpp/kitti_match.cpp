@@ -6,7 +6,10 @@
 // per image — exactly why the reference needed numba — so it lives here,
 // while the batched IoU matrices stay vectorized in numpy.
 //
-// Build: g++ -O3 -march=native -shared -fPIC kitti_match.cpp -o libkitti_match.so
+// Build: g++ -O3 -ffp-contract=off -shared -fPIC kitti_match.cpp -o libkitti_match.so
+// (NO -march=native / FMA contraction: rotate_pairs_kernel's bit-exactness
+// contract with the numpy path depends on -ffp-contract=off — see below.
+// native.py builds with exactly these flags.)
 
 #include <cmath>
 #include <cstdint>

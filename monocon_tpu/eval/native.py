@@ -106,6 +106,16 @@ def _offsets(counts: List[int]) -> np.ndarray:
     return np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
 
+def _cat(image_args: List[Dict[str, np.ndarray]], key: str,
+         dtype=np.float64) -> np.ndarray:
+    """Flatten-and-concatenate one per-image array across all images into
+    a single contiguous buffer for the C++ kernels."""
+    arrs = [np.ascontiguousarray(a[key], dtype=dtype).reshape(-1)
+            for a in image_args]
+    out = (np.concatenate(arrs) if arrs else np.zeros(0, dtype))
+    return np.ascontiguousarray(out, dtype=dtype)
+
+
 def rotate_pairs_native(
     boxes64: np.ndarray, qboxes64: np.ndarray,
     area1: np.ndarray, area2: np.ndarray, criterion: int,
@@ -155,24 +165,18 @@ def batch_match(
     dc_counts = [len(a["dc_bboxes"]) for a in image_args]
     ov_counts = [a["overlaps"].size for a in image_args]
 
-    def cat(key, dtype=np.float64, cols=None):
-        arrs = [np.ascontiguousarray(a[key], dtype=dtype) for a in image_args]
-        flat = [x.reshape(-1) for x in arrs]
-        out = (np.concatenate(flat) if flat else np.zeros(0, dtype))
-        return np.ascontiguousarray(out, dtype=dtype)
-
-    overlaps = cat("overlaps")
-    gt_alphas = cat("gt_alphas")
-    dt_alphas = cat("dt_alphas")
-    dt_scores = cat("dt_scores")
-    dt_bboxes = cat("dt_bboxes")
+    overlaps = _cat(image_args, "overlaps")
+    gt_alphas = _cat(image_args, "gt_alphas")
+    dt_alphas = _cat(image_args, "dt_alphas")
+    dt_scores = _cat(image_args, "dt_scores")
+    dt_bboxes = _cat(image_args, "dt_bboxes")
     if dt_bboxes.size == 0:
         dt_bboxes = np.zeros(4)
-    dc_bboxes = cat("dc_bboxes")
+    dc_bboxes = _cat(image_args, "dc_bboxes")
     if dc_bboxes.size == 0:
         dc_bboxes = np.zeros(4)
-    ignored_gt = cat("ignored_gt", np.int64)
-    ignored_dt = cat("ignored_dt", np.int64)
+    ignored_gt = _cat(image_args, "ignored_gt", np.int64)
+    ignored_dt = _cat(image_args, "ignored_dt", np.int64)
 
     thresholds = np.ascontiguousarray(thresholds, np.float64)
     pr = np.zeros((len(thresholds), 4), np.float64)
@@ -216,16 +220,10 @@ def batch_match_scores(
     dt_counts = [len(a["dt_scores"]) for a in image_args]
     ov_counts = [a["overlaps"].size for a in image_args]
 
-    def cat(key, dtype=np.float64):
-        arrs = [np.ascontiguousarray(a[key], dtype=dtype).reshape(-1)
-                for a in image_args]
-        out = (np.concatenate(arrs) if arrs else np.zeros(0, dtype))
-        return np.ascontiguousarray(out, dtype=dtype)
-
-    overlaps = cat("overlaps")
-    dt_scores = cat("dt_scores")
-    ignored_gt = cat("ignored_gt", np.int64)
-    ignored_dt = cat("ignored_dt", np.int64)
+    overlaps = _cat(image_args, "overlaps")
+    dt_scores = _cat(image_args, "dt_scores")
+    ignored_gt = _cat(image_args, "ignored_gt", np.int64)
+    ignored_dt = _cat(image_args, "ignored_dt", np.int64)
     out_scores = np.zeros(max(1, sum(gt_counts)), np.float64)
     n = lib.thresh_scores(
         _ptr_d(overlaps), _ptr_i(_offsets(ov_counts)),

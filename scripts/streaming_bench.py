@@ -15,6 +15,7 @@ Run alone (1-core host: concurrent TPU work corrupts every wall number):
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -41,7 +42,11 @@ def generate_drive(root: str, num_frames: int, seed: int = 0) -> tuple:
     )
 
     frames_dir = os.path.join(root, "image_02", "data")
-    os.makedirs(frames_dir, exist_ok=True)
+    # Clear any previous run's frames: a leftover larger drive would make
+    # the dataset glob stream more frames than this run claims to time.
+    if os.path.isdir(frames_dir):
+        shutil.rmtree(frames_dir)
+    os.makedirs(frames_dir)
     rng = np.random.default_rng(seed)
     for i in range(num_frames):
         _, specs = random_scene_labels(rng, int(rng.integers(2, 7)),

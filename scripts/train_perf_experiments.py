@@ -147,12 +147,21 @@ def main():
     from monocon_tpu.solver import build_optimizer
 
     if args.bf16_stats:
-        # Flip the flax dataclass default so every TorchBatchNorm in the
-        # model computes its moment sweeps in the activation dtype.
+        # Default every TorchBatchNorm to activation-dtype moment sweeps.
+        # (Mutating __dataclass_fields__[...].default does NOT work —
+        # dataclass defaults are baked into the generated __init__ at
+        # class creation — so wrap __init__ and assert the flag flips.)
         from monocon_tpu.models.layers import TorchBatchNorm
 
-        TorchBatchNorm.__dataclass_fields__[
-            "force_float32_reductions"].default = False
+        _orig_init = TorchBatchNorm.__init__
+
+        def _bf16_stats_init(self, *a, **kw):
+            kw.setdefault("force_float32_reductions", False)
+            _orig_init(self, *a, **kw)
+
+        TorchBatchNorm.__init__ = _bf16_stats_init
+        assert TorchBatchNorm(momentum=0.9).force_float32_reductions is False, (
+            "--bf16-stats patch did not take effect")
 
     pad_hw = (384, 1280)
     rng = np.random.default_rng(0)

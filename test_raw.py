@@ -72,20 +72,20 @@ def main():
 
     # All frames of a drive must share one resolution (KITTI drives do):
     # one jit shape = one compile, and the last partial batch is padded by
-    # frame repetition. frame_shape reads PNG headers only, so checking
-    # the whole drive is cheap. A mixed-resolution drive would recompile
-    # (~minutes on TPU) inside the timed loop and poison the fps number.
+    # frame repetition. frame_shape reads PNG/JPEG headers only, so
+    # checking the whole drive is cheap (early-exit keeps even the
+    # full-decode fallback for exotic formats from decoding the drive
+    # twice). A mixed-resolution drive would recompile (~minutes on TPU)
+    # inside the timed loop and poison the fps number.
     raw_hw0 = dataset.frame_shape(0)
-    mismatched = [
-        i for i in range(1, len(dataset))
-        if dataset.frame_shape(i) != raw_hw0
-    ]
-    if mismatched:
-        raise SystemExit(
-            f"{len(mismatched)} frame(s) (first: {mismatched[:5]}) differ "
-            f"from frame 0's {raw_hw0} resolution; pad-free batching and "
-            "single-compile streaming need a uniform-resolution drive"
-        )
+    for i in range(1, len(dataset)):
+        hw_i = dataset.frame_shape(i)
+        if hw_i != raw_hw0:
+            raise SystemExit(
+                f"frame {i} is {hw_i}, differing from frame 0's {raw_hw0} "
+                "resolution; pad-free batching and single-compile "
+                "streaming need a uniform-resolution drive"
+            )
 
     # The calib and padded extent are drive-wide constants: upload once.
     sample0 = dataset[0]

@@ -117,6 +117,34 @@ def test_raw_dataset_and_video(tmp_path):
     )
 
 
+def test_frame_shape_header_only(tmp_path, monkeypatch):
+    """frame_shape reads PNG IHDR and JPEG SOF headers without a pixel
+    decode (test_raw.py sweeps a whole drive with it before timing);
+    cv2.imread is stubbed out to prove neither format falls back."""
+    import cv2
+
+    from monocon_tpu.data import KITTIRawDataset
+    from monocon_tpu.data import kitti_raw
+
+    calib = tmp_path / "calib_cam_to_cam.txt"
+    calib.write_text("P_rect_02: " + " ".join(["1.0"] * 12) + "\n")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (96, 320, 3), np.uint8)
+    for tag, ext, flags in [
+            ("png", "png", []),
+            ("jpg_baseline", "jpg", [cv2.IMWRITE_JPEG_QUALITY, 90]),
+            ("jpg_progressive", "jpg", [cv2.IMWRITE_JPEG_PROGRESSIVE, 1])]:
+        d = tmp_path / f"frames_{tag}"
+        d.mkdir()
+        cv2.imwrite(str(d / f"0000000000.{ext}"), img, flags)
+        ds = KITTIRawDataset(str(d), str(calib), img_extension=ext)
+        monkeypatch.setattr(
+            kitti_raw.cv2, "imread",
+            lambda *_: (_ for _ in ()).throw(AssertionError("decoded")))
+        assert ds.frame_shape(0) == (96, 320)
+        monkeypatch.undo()
+
+
 def test_profiling_utils():
     import jax.numpy as jnp
 
