@@ -67,6 +67,9 @@ class MonoConEngine:
         # Counters (1-based, reference base_engine.py:35-42).
         self.epochs = 1
         self.global_iters = 1
+        # Steps of the current epoch already trained before a mid-epoch
+        # (CKPT_PERIOD_STEPS) resume; consumed by train_one_epoch.
+        self._resume_step_in_epoch = 0
         self.target_epochs = cfg.SOLVER.OPTIM.NUM_EPOCHS
         self.log_period = cfg.PERIOD.LOG_PERIOD
         self.val_period = cfg.PERIOD.EVAL_PERIOD
@@ -324,11 +327,33 @@ class MonoConEngine:
         out.update(dev)
         return out
 
+    def _materialize_losses(self) -> None:
+        """Convert any still-async device scalars in ``entire_losses`` to
+        host floats with ONE stacked transfer (a per-scalar ``float()``
+        loop forces one device->host round trip each — ~2 s apiece
+        through the axon tunnel, see CLAUDE.md)."""
+        dev_idx = [i for i, v in enumerate(self.entire_losses)
+                   if not isinstance(v, float)]
+        if not dev_idx:
+            return
+        vals = np.asarray(jnp.stack([self.entire_losses[i]
+                                     for i in dev_idx]))
+        for i, x in zip(dev_idx, vals):
+            self.entire_losses[i] = float(x)
+
     def train_one_epoch(self) -> float:
         epoch_start = len(self.entire_losses)
         self.train_loader.set_epoch(self.epochs)
         steps = len(self.train_loader)
+        # Mid-epoch resume (CKPT_PERIOD_STEPS): replay the loader's
+        # deterministic per-epoch order and skip the already-trained
+        # prefix, so the interrupted epoch continues where it stopped
+        # instead of being silently abandoned.
+        skip_steps = self._resume_step_in_epoch
+        self._resume_step_in_epoch = 0
         for batch_idx, batch in enumerate(self.train_loader):
+            if batch_idx < skip_steps:
+                continue
             dev = self._device_batch(batch)
             step_in = {"img": dev["img"], "img_hw": dev["img_hw"],
                        "label": dev["label"]}
@@ -337,8 +362,11 @@ class MonoConEngine:
             # masked-BN variant measures ~3% slower), remainder batches
             # the masked one — at most two compiles per run, and zero
             # when the dataset divides the batch size (KITTI 3712 does).
-            if "valid" in dev and batch.get("num_valid", 0) < len(
-                    np.asarray(batch["valid"])):
+            # (shape[0] — never np.asarray: the prefetch thread already
+            # placed "valid" on device, and materializing it would force
+            # a device->host round trip EVERY step.)
+            if "valid" in dev and batch.get("num_valid", 0) < int(
+                    dev["valid"].shape[0]):
                 step_in["valid"] = dev["valid"]
             with self.mesh:
                 self.state, losses = self._train_step(self.state, step_in)
@@ -350,11 +378,14 @@ class MonoConEngine:
             self.entire_losses.append(losses["total_loss"])
 
             if self.global_iters % self.log_period == 0:
-                loss_host = {k: float(v) for k, v in losses.items()}
+                # Two stacked transfers per log step (loss dict + pending
+                # history), not one fetch per scalar.
+                names = sorted(losses)
+                vals = np.asarray(jnp.stack([losses[k] for k in names]))
+                loss_host = dict(zip(names, (float(v) for v in vals)))
                 total = loss_host.pop("total_loss")
-                recent = [
-                    float(v) for v in self.entire_losses[-100:]
-                ]
+                self._materialize_losses()
+                recent = self.entire_losses[-100:]
                 bar = progress_bar(batch_idx + 1, steps)
                 print(
                     f"| Progress {bar} | LR {self.current_lr:.6f} "
@@ -368,12 +399,12 @@ class MonoConEngine:
                     )
             if (self.ckpt_period_steps > 0
                     and self.global_iters % self.ckpt_period_steps == 0):
-                self.save_checkpoint()
+                self.save_checkpoint(step_in_epoch=batch_idx + 1)
             self.global_iters += 1
 
-        epoch_losses = [float(v) for v in self.entire_losses[epoch_start:]]
         # keep history as host floats once the epoch is done
-        self.entire_losses[epoch_start:] = epoch_losses
+        self._materialize_losses()
+        epoch_losses = self.entire_losses[epoch_start:]
         return float(np.mean(epoch_losses)) if epoch_losses else float("nan")
 
     def _print_engine_info(self) -> None:
@@ -472,23 +503,14 @@ class MonoConEngine:
                 variables, batch["img"], batch["p2"], batch["img_hw"]
             )
 
-    def _collect_eval(self, decoded, batch, container) -> None:
-        decoded = {k: np.asarray(v) for k, v in decoded.items()}
+    def _finalize_eval(self, decoded, batch, vis_format: bool = False):
+        """Fetch a dispatched eval batch's decoded arrays and convert to
+        KITTI (or vis) format. One amortized transfer for all leaves
+        (``jax.device_get`` starts every copy async before blocking —
+        a per-key ``np.asarray`` loop pays one round trip per array)."""
+        decoded = jax.device_get(decoded)
         per_image = split_batch_detections(decoded, TEST_SCORE_THRESHOLD)
         # Drop padded remainder rows (pad_to_batch).
-        per_image = per_image[:batch.get("num_valid", len(per_image))]
-        container["img_bbox"].extend(
-            convert_to_kitti_3d(per_image, batch["img_metas"], batch["calib"])
-        )
-        container["img_bbox2d"].extend(
-            convert_to_kitti_2d(per_image, batch["img_metas"])
-        )
-
-    def _run_eval_batch(self, batch: Dict[str, Any],
-                        vis_format: bool = False):
-        decoded = self._dispatch_eval(batch)
-        decoded = {k: np.asarray(v) for k, v in decoded.items()}
-        per_image = split_batch_detections(decoded, TEST_SCORE_THRESHOLD)
         per_image = per_image[:batch.get("num_valid", len(per_image))]
         if vis_format:
             return to_vis_format(per_image)
@@ -498,6 +520,16 @@ class MonoConEngine:
             ),
             "img_bbox2d": convert_to_kitti_2d(per_image, batch["img_metas"]),
         }
+
+    def _collect_eval(self, decoded, batch, container) -> None:
+        result = self._finalize_eval(decoded, batch)
+        container["img_bbox"].extend(result["img_bbox"])
+        container["img_bbox2d"].extend(result["img_bbox2d"])
+
+    def _run_eval_batch(self, batch: Dict[str, Any],
+                        vis_format: bool = False):
+        return self._finalize_eval(self._dispatch_eval(batch), batch,
+                                   vis_format=vis_format)
 
     def visualize(self, output_dir: str,
                   draw_items: List[str] = ("2d", "3d", "bev")) -> None:
@@ -523,17 +555,34 @@ class MonoConEngine:
                 fn_map[item](idx, save_path=os.path.join(save_dir, name))
 
     # ------------------------------------------------------------------
-    def save_checkpoint(self, final: bool = False) -> str:
+    def save_checkpoint(self, final: bool = False,
+                        step_in_epoch: int = 0) -> str:
         # Materialize any still-async device loss scalars so the history
         # persists as host floats (reference base_engine.py:155-189 pickles
         # entire_losses/epoch_times; we keep them in meta.json so the
         # 100-step moving average and ETA survive preemption).
-        self.entire_losses = [float(v) for v in self.entire_losses]
+        self._materialize_losses()
+        # Mid-epoch (CKPT_PERIOD_STEPS) saves record how many steps of the
+        # in-progress epoch completed so resume can continue it; the saved
+        # global_iters is advanced past the just-finished step (the loop
+        # increments after saving).
         path = save_checkpoint(
-            self.weight_dir, self.state, self.epochs, self.global_iters,
+            self.weight_dir, self.state, self.epochs,
+            self.global_iters + (1 if step_in_epoch else 0),
             final=final,
             extra={"entire_losses": self.entire_losses,
-                   "epoch_times": list(self.epoch_times)},
+                   "epoch_times": list(self.epoch_times),
+                   "step_in_epoch": int(step_in_epoch),
+                   # The run's data seed: the loader's per-epoch shuffle
+                   # and per-sample augmentation RNG all derive from it
+                   # (data/loader.py:162-174), so a resuming process must
+                   # reuse it or it replays a DIFFERENT stream — which
+                   # silently breaks the mid-epoch prefix skip above and
+                   # changes every remaining epoch's order. train.py
+                   # randomizes SEED=-1 per process (reference
+                   # train.py:31-36 does too), so this cannot be left to
+                   # the config.
+                   "seed": max(int(self.cfg.SEED), 0)},
         )
         tprint(f"Checkpoint saved to '{path}'.")
         return path
@@ -545,16 +594,41 @@ class MonoConEngine:
                 {"params": self.state.params,
                  "batch_stats": self.state.batch_stats},
             )
-            self.state = TrainState(
+            # Replicate onto the mesh: without this the params stay host
+            # numpy and every jitted eval call re-uploads all of them.
+            self.state = replicate_state(TrainState(
                 params=variables["params"],
                 batch_stats=variables["batch_stats"],
                 opt_state=self.state.opt_state,
                 step=self.state.step,
-            )
+            ), self.mesh)
             return
         self.state, meta = load_checkpoint(path, self.state)
         self.state = replicate_state(self.state, self.mesh)
-        self.epochs = int(meta.get("epoch", 0)) + 1
+        # Adopt the interrupted run's data seed: the loaders were built
+        # with this process's cfg.SEED, but the shuffle/augmentation
+        # stream belongs to the run being resumed (train.py randomizes
+        # SEED=-1 per process, so a resumed process almost always starts
+        # with a different one).
+        saved_seed = meta.get("seed")
+        if saved_seed is not None and int(saved_seed) != max(
+                int(self.cfg.SEED), 0):
+            tprint(f"Resuming with the checkpoint's data seed {saved_seed} "
+                   f"(this process started with SEED={self.cfg.SEED}; the "
+                   "shuffle/augmentation stream follows the original run).")
+            self.cfg.SEED = int(saved_seed)
+            for loader in (self.train_loader, self.test_loader):
+                if loader is not None:
+                    loader.seed = int(saved_seed)
+        step_in_epoch = int(meta.get("step_in_epoch", 0))
+        if step_in_epoch > 0:
+            # The checkpoint was taken mid-epoch: re-enter the SAME epoch
+            # and skip its already-trained prefix (the loader's per-epoch
+            # shuffle is deterministic, so the replay is exact).
+            self.epochs = int(meta.get("epoch", 0))
+            self._resume_step_in_epoch = step_in_epoch
+        else:
+            self.epochs = int(meta.get("epoch", 0)) + 1
         self.global_iters = int(meta.get("global_iters", 1))
         # Restore loss/time history (reference base_engine.py:191-219) so
         # the moving-average display and ETA continue across resume.

@@ -82,6 +82,18 @@ def max_safe_spatial_shards(pad_h: int) -> int:
 
     (The stem's 7x7 runs at full H; the neck's transposed convs and the
     decode max-pool were measured exact at any thinness.)
+
+    Uneven deep-map splits: the per-level row counts here use floor
+    division, but when a level's height does not divide the shard count
+    GSPMD partitions it unevenly (ceil per shard, thin/padded last
+    shard) — e.g. pad_h=320 at 4 shards leaves the H/32 map's 10 rows
+    split 3/3/3/1. This was probed on the FULL model (measured round 4,
+    virtual CPU mesh): train-step losses match a single device to 3e-6
+    and the eval forward to f32 roundoff at 320/4, and even a 1-row
+    deep shard (128/4 eval forward) is exact — the model's propagated
+    partitioning avoids the isolated-conv miscompute configuration.
+    Regression-tested by
+    ``tests/test_parallel.py::test_uneven_deep_map_spatial_parity``.
     """
     return max(1, min((pad_h // 16) // 3, (pad_h // 32) // 2))
 

@@ -78,6 +78,77 @@ def test_train_eval_resume_cycle(env, capsys):
     assert engine2.epoch_times == pytest.approx(engine.epoch_times)
 
 
+class _FirstN:
+    """Loader wrapper yielding only the first n batches of each epoch —
+    simulates preemption mid-epoch."""
+
+    def __init__(self, loader, n):
+        self.loader, self.n = loader, n
+
+    def __len__(self):
+        return len(self.loader)
+
+    def set_epoch(self, epoch):
+        self.loader.set_epoch(epoch)
+
+    def __iter__(self):
+        it = iter(self.loader)
+        for _ in range(self.n):
+            yield next(it)
+
+
+def test_midepoch_resume_matches_uninterrupted(env, tmp_path):
+    """A CKPT_PERIOD_STEPS checkpoint taken mid-epoch must resume INSIDE
+    the interrupted epoch (skipping its already-trained prefix via the
+    loader's deterministic per-epoch shuffle), so the continued run
+    reproduces an uninterrupted run bit-for-bit. Previously the resume
+    jumped to epoch+1 and silently dropped the rest of the epoch."""
+    import jax
+
+    from monocon_tpu.engine import MonoConEngine
+
+    def make_cfg(out):
+        cfg = env.clone()
+        cfg.SOLVER.OPTIM.NUM_EPOCHS = 1  # 4 imgs / B=2 -> 2 steps
+        cfg.OUTPUT_DIR = str(out)
+        cfg.PERIOD.CKPT_PERIOD_STEPS = 1
+        return cfg
+
+    # Reference: one uninterrupted epoch.
+    engine_a = MonoConEngine(make_cfg(tmp_path / "a"))
+    engine_a.train()
+
+    # Interrupted: only step 1 of the epoch runs, then the process "dies"
+    # (the step-periodic checkpoint has already been written).
+    engine_b = MonoConEngine(make_cfg(tmp_path / "b"))
+    engine_b.train_loader = _FirstN(engine_b.train_loader, 1)
+    engine_b.train_one_epoch()
+
+    # Resume: a fresh engine picks up the mid-epoch checkpoint, re-enters
+    # the SAME epoch, and skips the trained prefix. The resuming process
+    # deliberately starts with a DIFFERENT SEED (train.py randomizes
+    # SEED=-1 per process): the engine must adopt the checkpoint's seed,
+    # or the replayed shuffle/augmentation stream diverges from the
+    # interrupted run's and the prefix skip drops/duplicates samples.
+    cfg_c = make_cfg(tmp_path / "b")
+    cfg_c.SEED = 12345
+    engine_c = MonoConEngine(cfg_c)
+    assert engine_c.epochs == engine_b.epochs  # same epoch, not +1
+    assert engine_c._resume_step_in_epoch == 1
+    assert engine_c.cfg.SEED == 0  # adopted from the checkpoint
+    assert engine_c.train_loader.seed == 0
+    engine_c.train()
+
+    # The continued run equals the uninterrupted one: same step counters,
+    # same loss history, bit-identical parameters.
+    assert engine_c.global_iters == engine_a.global_iters
+    assert engine_c.entire_losses == engine_a.entire_losses
+    leaves_a = jax.tree.leaves(engine_a.state.params)
+    leaves_c = jax.tree.leaves(engine_c.state.params)
+    for la, lc in zip(leaves_a, leaves_c):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lc))
+
+
 def test_visualize(env, tmp_path):
     from monocon_tpu.engine import MonoConEngine
 

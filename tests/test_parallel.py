@@ -88,6 +88,50 @@ def test_spatial_step_matches_single_device(rng):
         )
 
 
+def test_uneven_deep_map_spatial_parity(rng):
+    """A canvas whose deep feature maps do NOT divide the spatial shard
+    count must still reproduce single-device numerics: pad_h=320 at 4
+    shards passes validate_spatial_shards (320 % 4 == 0, max_safe=5) but
+    leaves the H/32 map's 10 rows to an uneven GSPMD partition
+    (ceil-split 3/3/3/1). Measured round 4: the full model's propagated
+    partitioning stays exact here (the isolated thin-conv miscompute
+    never materializes) — this test fences that measurement."""
+    from monocon_tpu.models import create_detector_state
+    from monocon_tpu.ops.decode import decode_predictions
+    from monocon_tpu.parallel import make_mesh, replicate_state
+    from monocon_tpu.parallel.mesh import (
+        image_sharding, batch_sharding, validate_spatial_shards,
+    )
+    from monocon_tpu.data.synthetic import DEFAULT_P2
+
+    pad_hw = (320, 64)
+    validate_spatial_shards(pad_hw[0], 4)  # passes despite uneven H/32
+    model, variables = create_detector_state(
+        jax.random.PRNGKey(0), image_hw=pad_hw
+    )
+
+    def fwd(variables, image, p2):
+        pred = model.apply(variables, image, train=False)
+        return decode_predictions(pred, p2, pad_hw)
+
+    img = jnp.asarray(rng.normal(size=(8, *pad_hw, 3)).astype(np.float32))
+    p2 = jnp.asarray(np.tile(DEFAULT_P2[None], (8, 1, 1)).astype(np.float32))
+    ref = jax.jit(fwd)(variables, img, p2)
+
+    mesh = make_mesh(8, spatial=4)  # 2 data x 4 space
+    out = jax.jit(fwd)(
+        replicate_state(variables, mesh),
+        jax.device_put(img, image_sharding(mesh)),
+        jax.device_put(p2, batch_sharding(mesh)),
+    )
+    for k in ref:
+        a = np.asarray(ref[k], np.float32)
+        b = np.asarray(out[k], np.float32)
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5,
+                                   err_msg=k)
+
+
 def test_spatial_shard_envelope():
     """validate_spatial_shards encodes the measured GSPMD halo-exchange
     envelope: a conv needs >= (window//2 + stride) input rows per shard
