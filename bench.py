@@ -111,25 +111,34 @@ def bench_jax():
 
 
 def bench_torch_cpu() -> float:
-    """Reference implementation on CPU (same arch, random weights)."""
+    """Reference implementation on CPU (same arch, random weights).
+
+    Denominator stability (round-4 VERDICT weak #4: a single 10-frame
+    window on this shared 1-core host varied ~2x run-to-run, so the
+    headline vs_baseline multiplier was noise): pin torch to one thread
+    (deterministic scheduling on the 1-core host) and take the MEDIAN of
+    three >=TORCH_FRAMES-frame windows."""
     sys.path.insert(0, "/root/reference")
     try:
         import torch
 
+        torch.set_num_threads(1)
         torch.manual_seed(0)
         from model.detector.monocon_detector import MonoConDetector
 
         det = MonoConDetector(num_dla_layers=DLA, pretrained_backbone=False)
         det.eval()
         x = torch.randn(1, 3, *PAD_HW)
+        windows = []
         with torch.no_grad():
             det.head.forward_test(det.neck(list(det.backbone(x)))[0])  # warmup
-            t0 = time.perf_counter()
-            for _ in range(TORCH_FRAMES):
-                feat = det.neck(list(det.backbone(x)))[0]
-                det.head.forward_test(feat)
-            dt = time.perf_counter() - t0
-        return TORCH_FRAMES / dt
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(TORCH_FRAMES):
+                    feat = det.neck(list(det.backbone(x)))[0]
+                    det.head.forward_test(feat)
+                windows.append(TORCH_FRAMES / (time.perf_counter() - t0))
+        return float(np.median(windows))
     finally:
         sys.path.pop(0)
 
@@ -147,6 +156,9 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / torch_fps, 2) if torch_fps else None,
+        # The denominator itself, so vs_baseline is auditable across rounds
+        # (median of 3 pinned single-thread windows, see bench_torch_cpu).
+        "torch_fps": round(torch_fps, 3) if torch_fps else None,
         "device_ms_per_step": round(device_ms, 2) if device_ms else None,
         "device_fps": (round(BATCH / (device_ms / 1e3), 1)
                        if device_ms else None),

@@ -77,6 +77,12 @@ _DEFAULTS: Dict[str, Any] = {
         "TEST_SPLIT": "val",
         "CROP_HW": [320, 960],  # train-time RandomCrop3D size
         "AUGMENT": True,  # additive: disable train-time augmentation
+        # Decoded-uint8 image cache (data/image_cache.py): '' off,
+        # 'auto' = {ROOT}/_decoded_cache/{split}, else a directory path.
+        # After the first epoch warms it, PNG decode (the host input
+        # bottleneck: ~65-80 img/s/core vs ~150 img/s/chip device demand)
+        # is replaced by a page-cache read.
+        "IMAGE_CACHE": "",
         "FILTER": {
             "MIN_HEIGHT": 25,
             "MIN_DEPTH": 2,

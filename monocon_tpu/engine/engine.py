@@ -234,6 +234,7 @@ class MonoConEngine:
             filter_configs={
                 k.lower(): v for k, v in cfg.DATA.FILTER.items()
             },
+            image_cache=cfg.DATA.get("IMAGE_CACHE", ""),
         )
         pad_hw = cfg.TPU.get("PAD_HW")
         loader = DataLoader(
@@ -342,7 +343,6 @@ class MonoConEngine:
             self.entire_losses[i] = float(x)
 
     def train_one_epoch(self) -> float:
-        epoch_start = len(self.entire_losses)
         self.train_loader.set_epoch(self.epochs)
         steps = len(self.train_loader)
         # Mid-epoch resume (CKPT_PERIOD_STEPS): replay the loader's
@@ -351,6 +351,20 @@ class MonoConEngine:
         # instead of being silently abandoned.
         skip_steps = self._resume_step_in_epoch
         self._resume_step_in_epoch = 0
+        # The restored per-step history already contains the resumed
+        # epoch's prefix (persisted in meta.json): start this epoch's
+        # average slice before it, so the printed '- Average Loss' covers
+        # the WHOLE epoch and matches an uninterrupted run.
+        epoch_start = max(len(self.entire_losses) - skip_steps, 0)
+        if skip_steps >= steps:
+            # The resume checkpoint landed exactly on the epoch's last
+            # step: nothing left to train — return the restored epoch's
+            # mean instead of iterating/decoding/augmenting every batch
+            # just to skip it (a full epoch of host time on a 1-core
+            # host).
+            epoch_losses = self.entire_losses[epoch_start:]
+            return (float(np.mean(epoch_losses)) if epoch_losses
+                    else float("nan"))
         for batch_idx, batch in enumerate(self.train_loader):
             if batch_idx < skip_steps:
                 continue

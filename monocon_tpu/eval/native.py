@@ -60,6 +60,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
     except OSError:
         return None
 
+    try:
+        return _bind(lib)
+    except AttributeError:
+        # A stale libkitti_match.so missing newer symbols (equal-mtime
+        # copy, clock skew, lib built by an older checkout) must degrade
+        # to the pure-Python matcher like every other failure mode here,
+        # not crash eval. One rebuild attempt, then give up.
+        if _build():
+            try:
+                return _bind(ctypes.CDLL(_LIB_PATH))
+            except (OSError, AttributeError):
+                return None
+        return None
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    global _lib
     c_double_p = ctypes.POINTER(ctypes.c_double)
     c_int64_p = ctypes.POINTER(ctypes.c_int64)
     lib.fused_pr.restype = None

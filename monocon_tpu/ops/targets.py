@@ -55,6 +55,12 @@ def resolve_pallas_targets(setting: object = "auto") -> bool:
     """
     env = os.environ.get("MONOCON_PALLAS_TARGETS")
     if env is not None:
+        if env not in ("0", "1"):
+            # As strict as the config knob below: a typo ("true", "yes")
+            # must not silently force the kernel OFF.
+            raise ValueError(
+                f"MONOCON_PALLAS_TARGETS must be '0' or '1', got {env!r}"
+            )
         return env == "1"
     if isinstance(setting, bool):
         return setting

@@ -203,6 +203,12 @@ def main():
                     help="images for the pure-Python fallback timing "
                          "(extrapolated linearly)")
     ap.add_argument("--json", default="")
+    ap.add_argument("--profile", action="store_true",
+                    help="cProfile the end-to-end kitti_eval and record the "
+                         "top cumulative-time functions — attributes ALL of "
+                         "the wall time (the stage table only covers the 3D "
+                         "metric's four named stages; VERDICT round-4 found "
+                         "~4.5s of 6.1s unaccounted)")
     args = ap.parse_args()
 
     from monocon_tpu.eval import native
@@ -226,6 +232,30 @@ def main():
     print(f"kitti_eval end-to-end (C++ matcher): "
           f"{record['end_to_end_cpp_s']:.1f}s "
           f"[{len(results)} metric keys]")
+
+    if args.profile:
+        import cProfile
+        import pstats
+
+        prof = cProfile.Profile()
+        prof.enable()
+        kitti_eval(gt_annos, dt_annos, ["Car", "Pedestrian", "Cyclist"])
+        prof.disable()
+        stats = pstats.Stats(prof)
+        stats.sort_stats("cumulative")
+        rows = []
+        for (fname, line, func), (cc, nc, tt, ct, _) in sorted(
+                stats.stats.items(), key=lambda kv: -kv[1][3])[:40]:
+            rows.append({
+                "func": f"{os.path.basename(fname)}:{line}:{func}",
+                "calls": nc, "tottime_s": round(tt, 3),
+                "cumtime_s": round(ct, 3),
+            })
+        record["profile_top"] = rows
+        print("cProfile top cumulative (end-to-end kitti_eval):")
+        for r in rows[:25]:
+            print(f"  {r['cumtime_s']:7.2f} cum {r['tottime_s']:7.2f} tot "
+                  f"{r['calls']:>8} {r['func']}")
 
     # Stage attribution (metric 2 across all classes/difficulties/regimes).
     stages = stage_attribution(gt_annos, dt_annos)

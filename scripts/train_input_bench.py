@@ -1,0 +1,203 @@
+"""Train-side host input pipeline throughput (VERDICT round-4 missing #2).
+
+Measures whether the host loader can feed the chip: the device consumes
+~150.6 img/s/chip at B=32 (STATUS round-4 train table, device trace), and
+the north star requires feeding the TPU "without host-side Python
+bottlenecks". This script measures, on a synthetic KITTI tree at real
+KITTI resolution (375x1242 PNGs):
+
+  1. per-stage serial cost per image: PNG decode / calib+label assembly /
+     full train augment chain (photometric+shift+flip+crop+quantize) /
+     collate into the staging canvas;
+  2. the same with the decoded-image cache (cfg.DATA.IMAGE_CACHE) warmed —
+     the cache replaces the decode with a page-cache .npy read;
+  3. sustained DataLoader img/s (threaded workers, pad_to_batch, staging
+     ring) cold, warming, and warm.
+
+Verdict encoded in the JSON: loader img/s vs device demand, and the
+implied host-core budget per chip with and without the cache. Reference
+analog: 4 torch DataLoader worker processes (engine/monocon_engine.py:58-72
++ dataset/monocon_dataset.py:76-157), i.e. the reference budgets 4 cores.
+
+Run alone (1-core host: anything concurrent corrupts every wall number):
+  python scripts/train_input_bench.py [--images 64] [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+KITTI_HW = (375, 1242)
+DEVICE_DEMAND_IMG_S = 150.6  # B=32 bf16 device-trace rate, STATUS round-4
+BATCH = 16
+
+
+def build_tree(root: str, n: int) -> str:
+    from monocon_tpu.data.synthetic import generate_kitti_dataset
+
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    generate_kitti_dataset(root, num_train=n, num_val=2,
+                           image_hw=KITTI_HW, seed=3)
+    return root
+
+
+def time_per_image(fn, n: int, repeat: int = 1) -> float:
+    t0 = time.perf_counter()
+    for _ in range(repeat):
+        for i in range(n):
+            fn(i)
+    return (time.perf_counter() - t0) / (n * repeat)
+
+
+def stage_attribution(root: str, cache_dir: str, n: int) -> dict:
+    from monocon_tpu.data import MonoConDataset, collate
+    from monocon_tpu.data.transforms import default_train_transforms
+
+    train_tf = default_train_transforms((320, 960), device_normalize=True)
+
+    plain_raw = MonoConDataset(root, "train", transforms=[])
+    plain_full = MonoConDataset(root, "train", transforms=train_tf)
+    cached_full = MonoConDataset(root, "train", transforms=train_tf,
+                                 image_cache=cache_dir)
+    cached_raw = MonoConDataset(root, "train", transforms=[],
+                                image_cache=cache_dir)
+
+    rng = np.random.default_rng(0)
+
+    # Serial per-image costs (1 worker; the loader's thread pool cannot
+    # multiply these on a 1-core host, only overlap their IO slivers).
+    t_decode = time_per_image(lambda i: plain_raw.load_image(i), n)
+    t_raw = time_per_image(
+        lambda i: plain_raw.get_sample(i, np.random.default_rng(i)), n)
+    t_full = time_per_image(
+        lambda i: plain_full.get_sample(i, np.random.default_rng(i)), n)
+
+    # Warm the cache, then the same two with the decode replaced by the
+    # .npy read.
+    for i in range(n):
+        cached_raw.load_image(i)
+    t_decode_cached = time_per_image(lambda i: cached_raw.load_image(i), n)
+    t_full_cached = time_per_image(
+        lambda i: cached_full.get_sample(i, np.random.default_rng(i)), n)
+
+    # Collate into a reused staging canvas, per image.
+    samples = [plain_full.get_sample(i, np.random.default_rng(i))
+               for i in range(min(n, BATCH))]
+    canvas = np.zeros((len(samples), 384, 1248, 3), samples[0]["img"].dtype)
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        collate(samples, (384, 1248), out_images=canvas)
+    t_collate = (time.perf_counter() - t0) / (reps * len(samples))
+
+    del rng
+    return {
+        "png_decode_ms": 1e3 * t_decode,
+        "cached_read_ms": 1e3 * t_decode_cached,
+        "calib_labels_ms": 1e3 * max(t_raw - t_decode, 0.0),
+        "augment_chain_ms": 1e3 * max(t_full - t_raw, 0.0),
+        "collate_ms": 1e3 * t_collate,
+        "full_sample_ms": 1e3 * t_full,
+        "full_sample_cached_ms": 1e3 * t_full_cached,
+        "serial_img_s": 1.0 / (t_full + t_collate),
+        "serial_img_s_cached": 1.0 / (t_full_cached + t_collate),
+    }
+
+
+def sustained_loader(root: str, cache_dir: str, epochs_warm: int = 2) -> dict:
+    """The production loader path end-to-end (threads, staging ring,
+    pad_to_batch), consumed on the host (device_put_fn=None isolates the
+    host pipeline from tunnel H2D, which CLAUDE.md shows dominates any
+    wall measurement through the dev tunnel)."""
+    from monocon_tpu.data import DataLoader, MonoConDataset
+    from monocon_tpu.data.transforms import default_train_transforms
+
+    def run_epoch(loader, epoch):
+        loader.set_epoch(epoch)
+        t0 = time.perf_counter()
+        n = 0
+        for batch in loader:
+            n += int(batch.get("num_valid", batch["img"].shape[0]))
+        return n / (time.perf_counter() - t0)
+
+    out = {}
+    for tag, cache in (("nocache", ""), ("cache", cache_dir + "_sustained")):
+        ds = MonoConDataset(
+            root, "train",
+            transforms=default_train_transforms((320, 960),
+                                                device_normalize=True),
+            image_cache=cache,
+        )
+        loader = DataLoader(ds, batch_size=BATCH, shuffle=True,
+                            num_workers=4, pad_hw=(384, 1248),
+                            pad_to_batch=True, seed=0)
+        rates = [run_epoch(loader, e) for e in range(epochs_warm + 1)]
+        out[f"{tag}_img_s_per_epoch"] = [round(r, 2) for r in rates]
+        out[f"{tag}_img_s"] = round(rates[-1], 2)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=64)
+    ap.add_argument("--root", default="/tmp/train_input_bench")
+    ap.add_argument("--json", default="")
+    args = ap.parse_args()
+
+    t0 = time.perf_counter()
+    root = build_tree(os.path.join(args.root, "kitti"), args.images)
+    print(f"tree: {args.images} train images {KITTI_HW} "
+          f"({time.perf_counter() - t0:.0f}s)")
+    cache_dir = os.path.join(args.root, "cache")
+    if os.path.isdir(cache_dir):
+        shutil.rmtree(cache_dir)
+
+    record = {
+        "images": args.images,
+        "hw": KITTI_HW,
+        "batch": BATCH,
+        "device_demand_img_s": DEVICE_DEMAND_IMG_S,
+        "note": ("synthetic-render PNGs at KITTI resolution; real KITTI "
+                 "photos compress differently, so decode_ms is an estimate "
+                 "of that stage, not a bit-exact reproduction"),
+    }
+
+    stages = stage_attribution(root, cache_dir, args.images)
+    record["stages"] = {k: round(v, 3) for k, v in stages.items()}
+    print("serial per-image attribution:")
+    for k, v in stages.items():
+        print(f"  {k:>24}: {v:8.3f}")
+
+    sustained = sustained_loader(root, cache_dir)
+    record.update(sustained)
+    print(f"sustained loader img/s: nocache {sustained['nocache_img_s']} | "
+          f"cache per-epoch {sustained['cache_img_s_per_epoch']}")
+
+    demand = DEVICE_DEMAND_IMG_S
+    record["cores_per_chip_nocache"] = round(
+        demand / sustained["nocache_img_s"], 2)
+    record["cores_per_chip_cached"] = round(
+        demand / sustained["cache_img_s"], 2)
+    record["feeds_one_chip_cached"] = bool(
+        sustained["cache_img_s"] >= demand)
+    print(f"host-core budget per chip (demand {demand} img/s): "
+          f"{record['cores_per_chip_nocache']} cores uncached, "
+          f"{record['cores_per_chip_cached']} cores cached")
+
+    if args.json:
+        os.makedirs(os.path.dirname(args.json) or ".", exist_ok=True)
+        with open(args.json, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"-> {args.json}")
+
+
+if __name__ == "__main__":
+    main()

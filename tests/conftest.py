@@ -24,10 +24,21 @@ jax.config.update("jax_platforms", "cpu")
 # XLA:CPU AOT artifacts reload with mismatched machine features ("could
 # lead to SIGILL") and produce nondeterministic numerics.
 
+import zlib
+
 import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    """Per-test RNG, seeded from the test's node id.
+
+    Function-scoped ON PURPOSE: a session-scoped shared stream makes every
+    test's inputs depend on which tests drew before it, so an in-suite
+    failure need not reproduce in isolation (this bit round 4:
+    test_remat_step_matches_plain failed in-suite, passed alone). With the
+    seed derived from the node id, a test sees the exact same inputs
+    in-suite, alone, and under any -k selection.
+    """
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))

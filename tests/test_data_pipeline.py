@@ -66,6 +66,45 @@ def test_dataset_sample_structure(kitti_root):
     assert set(np.unique(label["gt_labels"][m])) <= {0.0, 1.0, 2.0}
 
 
+def test_decoded_image_cache(kitti_root, tmp_path):
+    """DATA.IMAGE_CACHE write-through: the second read serves the exact
+    decoded pixels from disk (no PNG decode), torn/garbage cache entries
+    degrade to a re-decode, and cached samples equal uncached ones through
+    the full train pipeline."""
+    import os
+
+    cache_dir = str(tmp_path / "cache")
+    plain = MonoConDataset(kitti_root, "train")
+    cached = MonoConDataset(kitti_root, "train", image_cache=cache_dir)
+    assert cached.image_cache is not None
+
+    rng_pair = lambda: np.random.default_rng(7)  # noqa: E731
+    a = plain.get_sample(0, rng_pair())
+    b = cached.get_sample(0, rng_pair())  # miss: decodes + persists
+    sid = cached.sample_ids[0]
+    assert sid in cached.image_cache
+    c = cached.get_sample(0, rng_pair())  # hit: reads the .npy
+    np.testing.assert_array_equal(a["img"], b["img"])
+    np.testing.assert_array_equal(a["img"], c["img"])
+    for k in a["label"]:
+        np.testing.assert_array_equal(a["label"][k], c["label"][k])
+
+    # Cache hits bypass the PNG entirely.
+    raw = cached.image_cache.get(sid)
+    img_direct, _ = plain.load_image(0)
+    np.testing.assert_array_equal(raw, img_direct)
+
+    # A torn/corrupt entry is a miss, not a crash; it gets rewritten.
+    path = cached.image_cache._path(sid)
+    with open(path, "wb") as f:
+        f.write(b"\x93NUMPY garbage")
+    assert cached.image_cache.get(sid) is None
+    d = cached.get_sample(0, rng_pair())
+    np.testing.assert_array_equal(a["img"], d["img"])
+    assert cached.image_cache.get(sid) is not None
+    assert os.path.getsize(path) > 100
+
+
 def test_dataset_determinism(kitti_root):
     ds = MonoConDataset(kitti_root, "train")
     a = ds.get_sample(1, np.random.default_rng(42))

@@ -149,6 +149,67 @@ def test_midepoch_resume_matches_uninterrupted(env, tmp_path):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lc))
 
 
+def test_partial_checkpoint_skipped(tmp_path):
+    """A crash in the window between the Orbax state commit and the
+    meta.json write must not be auto-resumed: a resume that loads the
+    newest weights but resets epochs/global_iters/seed silently breaks
+    the shuffle-stream contract. latest_checkpoint only accepts dirs
+    carrying the meta.json commit marker (written last, atomically)."""
+    import jax.numpy as jnp
+    import optax
+
+    from monocon_tpu.engine.checkpoint import (latest_checkpoint,
+                                               load_checkpoint,
+                                               save_checkpoint)
+    from monocon_tpu.engine.train_step import TrainState
+
+    opt = optax.sgd(1e-3)
+    params = {"w": jnp.ones((2,))}
+    state = TrainState(params=params, batch_stats={"m": jnp.zeros((2,))},
+                       opt_state=opt.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    wd = str(tmp_path / "ckpts")
+    p1 = save_checkpoint(wd, state, epoch=1, global_iters=10)
+    p2 = save_checkpoint(wd, state, epoch=2, global_iters=20)
+    assert latest_checkpoint(wd) == p2
+    _, meta = load_checkpoint(p2, state)
+    assert meta["epoch"] == 2 and meta["global_iters"] == 20
+    # Simulate the crash window: state fully committed, meta never written.
+    os.remove(os.path.join(p2, "meta.json"))
+    assert latest_checkpoint(wd) == p1  # partial dir skipped
+    os.remove(os.path.join(p1, "meta.json"))
+    assert latest_checkpoint(wd) is None
+
+
+def test_epoch_boundary_resume_skips_replay(env):
+    """A resume whose checkpoint landed exactly on an epoch's last step
+    (step_in_epoch == steps, e.g. CKPT_PERIOD_STEPS a multiple of the
+    epoch length) must early-return from train_one_epoch — not iterate,
+    decode and augment every batch just to skip it — and must report the
+    restored epoch's true average, not NaN."""
+    from monocon_tpu.engine import MonoConEngine
+
+    engine = MonoConEngine(env.clone())
+    steps = len(engine.train_loader)
+
+    class _Boom:
+        def __len__(self):
+            return steps
+
+        def set_epoch(self, epoch):
+            pass
+
+        def __iter__(self):
+            raise AssertionError("completed epoch was replayed")
+
+    # Simulate the restored state: the whole epoch's loss history is back
+    # from meta.json and the resume marker says the epoch finished.
+    engine.entire_losses = [2.0] * steps
+    engine._resume_step_in_epoch = steps
+    engine.train_loader = _Boom()
+    assert engine.train_one_epoch() == pytest.approx(2.0)
+
+
 def test_visualize(env, tmp_path):
     from monocon_tpu.engine import MonoConEngine
 

@@ -143,33 +143,54 @@ def test_train_step_runs_and_descends(rng):
 def test_remat_step_matches_plain(rng, remat):
     """jax.checkpoint around the model apply (the HBM-pressure lever,
     make_train_step remat=) must not change step numerics: same losses and
-    same updated params as the plain step from identical state/batch."""
+    same updated params as the plain step from identical state/batch.
+
+    Tolerance design (round-4 fix): comparing post-Adam float32 params is
+    ill-posed — Adam's t=0 update is ~sign(g)*lr per element, so any param
+    whose true gradient is zero-plus-reduction-noise can jump by ~2*lr
+    between two programs that agree to the last ulp (the repo's f32 noise
+    model, tests/test_train_trajectory_golden.py; the round-4 in-suite
+    failure of this test at a different RNG stream was exactly that). What
+    remat must preserve is the *gradient function*, so the comparison runs
+    in float64 (reduction noise ~1e-15) with plain SGD, where the post-step
+    param diff IS lr x the gradient diff — no sign amplification, and the
+    1e-8 bound below has ~6 orders of margin over honest f64 noise while
+    still catching any semantic deviation.
+    """
+    import optax
+
     from monocon_tpu.engine import create_train_state, make_train_step
     from monocon_tpu.models import create_detector_state
-    from monocon_tpu.solver import build_optimizer
 
     pad_hw = (64, 160)
     model, variables = create_detector_state(
         jax.random.PRNGKey(0), image_hw=pad_hw
     )
-    optimizer = build_optimizer(lr=1e-3, total_steps=100, use_scheduler=False)
     label = random_label_batch(rng, b=2, o=30, feat_hw=(16, 40),
                                pad_hw=pad_hw)
-    batch = {
-        "img": jnp.asarray(
-            rng.normal(size=(2, *pad_hw, 3)).astype(np.float32)),
-        "label": {k: jnp.asarray(v) for k, v in label.items()},
-    }
+    img = rng.normal(size=(2, *pad_hw, 3)).astype(np.float64)
+    variables = jax.tree.map(np.asarray, variables)
 
-    plain = jax.jit(make_train_step(model, optimizer))
-    rem = jax.jit(make_train_step(model, optimizer, remat=remat))
-    s_plain, l_plain = plain(create_train_state(variables, optimizer), batch)
-    s_rem, l_rem = rem(create_train_state(variables, optimizer), batch)
+    with jax.enable_x64(True):
+        optimizer = optax.sgd(1e-3)
+        v64 = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.float64)
+            if np.issubdtype(a.dtype, np.floating) else jnp.asarray(a),
+            variables,
+        )
+        batch = {
+            "img": jnp.asarray(img, jnp.float64),
+            "label": {k: jnp.asarray(v) for k, v in label.items()},
+        }
+        plain = jax.jit(make_train_step(model, optimizer))
+        rem = jax.jit(make_train_step(model, optimizer, remat=remat))
+        s_plain, l_plain = plain(create_train_state(v64, optimizer), batch)
+        s_rem, l_rem = rem(create_train_state(v64, optimizer), batch)
 
-    for k in l_plain:
-        np.testing.assert_allclose(float(l_rem[k]), float(l_plain[k]),
-                                   rtol=1e-6, err_msg=k)
-    a = jax.tree.leaves(s_plain.params)
-    b = jax.tree.leaves(s_rem.params)
-    worst = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b))
-    assert worst < 1e-6, worst
+        for k in l_plain:
+            np.testing.assert_allclose(float(l_rem[k]), float(l_plain[k]),
+                                       rtol=1e-9, err_msg=k)
+        a = jax.tree.leaves(s_plain.params)
+        b = jax.tree.leaves(s_rem.params)
+        worst = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b))
+        assert worst < 1e-8, worst
