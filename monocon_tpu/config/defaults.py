@@ -152,12 +152,12 @@ _DEFAULTS: Dict[str, Any] = {
         # scaling; see parallel/distributed.py for the env contract).
         "MULTIHOST": False,
         "PREFETCH_BATCHES": 2,        # host->device prefetch depth
-        # Gaussian-splat target generation via the Pallas TPU kernel
-        # (~8x faster on-device than the dense jnp path: 3.8 ms vs ~30 ms
-        # at B=16). 'auto': ON for real TPU backends, OFF for CPU and the
-        # tunneled `axon` dev platform whose per-launch host overhead
-        # cancels the win. true/false force a path; the env var
-        # MONOCON_PALLAS_TARGETS=0/1 overrides everything (see
+        # Gaussian-splat target generation via the Pallas TPU kernel.
+        # 'auto': OFF everywhere — the dense jnp path wins on-chip both
+        # standalone (0.37 vs 3.57 ms device at B=16) and in-context
+        # (bf16 train step 108.2 vs 111.3 ms/step), round-5 A/B
+        # (artifacts/r5/pallas_ab.json). true/false force a path; the env
+        # var MONOCON_PALLAS_TARGETS=0/1 overrides everything (see
         # ops/targets.py resolve_pallas_targets).
         "PALLAS_TARGETS": "auto",
         "PAD_HW": [384, 1248],        # static batch canvas (null: per-batch)

@@ -162,49 +162,119 @@ def rotate_pairs_native(
     return out
 
 
+class FlatPack:
+    """Flattened, offset-indexed buffers for the C++ kernels, built ONCE
+    per :func:`protocol.eval_class` call.
+
+    Everything except the ignore codes is class/difficulty-invariant, yet
+    the naive path re-flattened all of it on every ``batch_match`` /
+    ``batch_match_scores`` call — 3 metrics x 9 (cls,diff) x 2 regimes x
+    2 calls x ~6 buffers of ~3769 tiny per-image arrays at val scale
+    dominated the evaluator's host time (VERDICT round-4 weak #5; see
+    artifacts/r5/eval_scale.json for the before/after). ``set_ignored``
+    swaps only the per-(class,difficulty) ignore codes.
+    """
+
+    def __init__(self, image_args: List[Dict[str, np.ndarray]]):
+        self.image_args = image_args  # the Python fallback's view
+        self.gt_counts = [len(a["gt_alphas"]) for a in image_args]
+        dt_counts = [len(a["dt_scores"]) for a in image_args]
+        dc_counts = [len(a["dc_bboxes"]) for a in image_args]
+        ov_counts = [a["overlaps"].size for a in image_args]
+        self.n_images = len(image_args)
+        self.gt_off = _offsets(self.gt_counts)
+        self.dt_off = _offsets(dt_counts)
+        self.dc_off = _offsets(dc_counts)
+        self.ov_off = _offsets(ov_counts)
+        self.overlaps = _cat(image_args, "overlaps")
+        self.gt_alphas = _cat(image_args, "gt_alphas")
+        self.dt_alphas = _cat(image_args, "dt_alphas")
+        self.dt_scores = _cat(image_args, "dt_scores")
+        self.dt_bboxes = _cat(image_args, "dt_bboxes")
+        if self.dt_bboxes.size == 0:
+            self.dt_bboxes = np.zeros(4)
+        self.dc_bboxes = _cat(image_args, "dc_bboxes")
+        if self.dc_bboxes.size == 0:
+            self.dc_bboxes = np.zeros(4)
+        self.total_gt = int(self.gt_off[-1])
+        self.ignored_gt: Optional[np.ndarray] = None
+        self.ignored_dt: Optional[np.ndarray] = None
+        self._refresh_ignored()
+
+    def _refresh_ignored(self) -> None:
+        if all(a.get("ignored_gt") is not None for a in self.image_args):
+            self.ignored_gt = _cat(self.image_args, "ignored_gt", np.int64)
+            self.ignored_dt = _cat(self.image_args, "ignored_dt", np.int64)
+
+    def set_ignored(self, ignored_gt: List[np.ndarray],
+                    ignored_dt: List[np.ndarray]) -> None:
+        """Swap the (class, difficulty)-dependent ignore codes from
+        per-image arrays — also written back into ``image_args`` so the
+        Python fallback (and any direct ``match_image`` caller) sees the
+        same state."""
+        for i, a in enumerate(self.image_args):
+            a["ignored_gt"] = ignored_gt[i]
+            a["ignored_dt"] = ignored_dt[i]
+        self.ignored_gt = (
+            np.concatenate(ignored_gt).astype(np.int64)
+            if ignored_gt else np.zeros(0, np.int64))
+        self.ignored_dt = (
+            np.concatenate(ignored_dt).astype(np.int64)
+            if ignored_dt else np.zeros(0, np.int64))
+
+    def set_ignored_flat(self, ignored_gt: np.ndarray,
+                         ignored_dt: np.ndarray) -> None:
+        """Swap the ignore codes from already-flat arrays (the
+        ``protocol._clean_all_from_flat`` output); per-image offset slices
+        are written back into ``image_args`` for the Python fallback."""
+        assert len(ignored_gt) == self.total_gt
+        assert len(ignored_dt) == int(self.dt_off[-1])
+        self.ignored_gt = np.ascontiguousarray(ignored_gt, np.int64)
+        self.ignored_dt = np.ascontiguousarray(ignored_dt, np.int64)
+        for i, a in enumerate(self.image_args):
+            a["ignored_gt"] = self.ignored_gt[
+                self.gt_off[i]:self.gt_off[i + 1]]
+            a["ignored_dt"] = self.ignored_dt[
+                self.dt_off[i]:self.dt_off[i + 1]]
+
+
+def _as_pack(image_args) -> FlatPack:
+    return (image_args if isinstance(image_args, FlatPack)
+            else FlatPack(image_args))
+
+
 def batch_match(
-    image_args: List[Dict[str, np.ndarray]],
+    image_args,
     metric: int,
     min_overlap: float,
     thresholds: np.ndarray,
     compute_aos: bool,
     force_python: bool = False,
 ) -> np.ndarray:
-    """Accumulated PR table (T, 4): tp, fp, fn, similarity."""
+    """Accumulated PR table (T, 4): tp, fp, fn, similarity.
+
+    ``image_args`` is a per-image list of dicts or a prebuilt
+    :class:`FlatPack` (reused across (class, difficulty, regime) by
+    ``eval_class``)."""
     lib = None if force_python else get_lib()
     if lib is None:
+        args_list = (image_args.image_args
+                     if isinstance(image_args, FlatPack) else image_args)
         return _batch_match_python(
-            image_args, metric, min_overlap, thresholds, compute_aos
+            args_list, metric, min_overlap, thresholds, compute_aos
         )
 
-    gt_counts = [len(a["gt_alphas"]) for a in image_args]
-    dt_counts = [len(a["dt_scores"]) for a in image_args]
-    dc_counts = [len(a["dc_bboxes"]) for a in image_args]
-    ov_counts = [a["overlaps"].size for a in image_args]
-
-    overlaps = _cat(image_args, "overlaps")
-    gt_alphas = _cat(image_args, "gt_alphas")
-    dt_alphas = _cat(image_args, "dt_alphas")
-    dt_scores = _cat(image_args, "dt_scores")
-    dt_bboxes = _cat(image_args, "dt_bboxes")
-    if dt_bboxes.size == 0:
-        dt_bboxes = np.zeros(4)
-    dc_bboxes = _cat(image_args, "dc_bboxes")
-    if dc_bboxes.size == 0:
-        dc_bboxes = np.zeros(4)
-    ignored_gt = _cat(image_args, "ignored_gt", np.int64)
-    ignored_dt = _cat(image_args, "ignored_dt", np.int64)
-
+    pack = _as_pack(image_args)
     thresholds = np.ascontiguousarray(thresholds, np.float64)
     pr = np.zeros((len(thresholds), 4), np.float64)
     lib.fused_pr(
-        _ptr_d(overlaps), _ptr_i(_offsets(ov_counts)),
-        _ptr_d(gt_alphas), _ptr_i(_offsets(gt_counts)),
-        _ptr_d(dt_alphas), _ptr_d(dt_scores),
-        _ptr_d(dt_bboxes), _ptr_i(_offsets(dt_counts)),
-        _ptr_i(ignored_gt), _ptr_i(ignored_dt),
-        _ptr_d(dc_bboxes), _ptr_i(_offsets(dc_counts)),
-        len(image_args), metric, float(min_overlap),
+        _ptr_d(pack.overlaps), _ptr_i(pack.ov_off),
+        _ptr_d(pack.gt_alphas), _ptr_i(pack.gt_off),
+        _ptr_d(pack.dt_alphas), _ptr_d(pack.dt_scores),
+        _ptr_d(pack.dt_bboxes), _ptr_i(pack.dt_off),
+        _ptr_i(pack.ignored_gt), _ptr_i(pack.ignored_dt),
+        _ptr_d(pack.dc_bboxes), _ptr_i(pack.dc_off),
+        pack.n_images, metric, float(min_overlap),
         _ptr_d(thresholds), len(thresholds), int(compute_aos),
         _ptr_d(pr),
     )
@@ -212,20 +282,23 @@ def batch_match(
 
 
 def batch_match_scores(
-    image_args: List[Dict[str, np.ndarray]],
+    image_args,
     metric: int,
     min_overlap: float,
     force_python: bool = False,
 ) -> np.ndarray:
     """Matched-TP scores at thresh=0 over all images (the input to
     select_thresholds) — the loop the reference numba-``prange``d
-    (eval.py:128-133 caller). C++ with a Python fallback."""
+    (eval.py:128-133 caller). C++ with a Python fallback. Accepts a
+    per-image list or a prebuilt :class:`FlatPack`."""
     lib = None if force_python else get_lib()
     if lib is None:
         from .protocol import match_image
 
+        args_list = (image_args.image_args
+                     if isinstance(image_args, FlatPack) else image_args)
         out = []
-        for args in image_args:
+        for args in args_list:
             _, _, _, _, scores = match_image(
                 metric=metric, min_overlap=min_overlap, compute_fp=False,
                 **args,
@@ -233,21 +306,14 @@ def batch_match_scores(
             out.append(scores)
         return (np.concatenate(out) if out else np.zeros(0, np.float64))
 
-    gt_counts = [len(a["gt_alphas"]) for a in image_args]
-    dt_counts = [len(a["dt_scores"]) for a in image_args]
-    ov_counts = [a["overlaps"].size for a in image_args]
-
-    overlaps = _cat(image_args, "overlaps")
-    dt_scores = _cat(image_args, "dt_scores")
-    ignored_gt = _cat(image_args, "ignored_gt", np.int64)
-    ignored_dt = _cat(image_args, "ignored_dt", np.int64)
-    out_scores = np.zeros(max(1, sum(gt_counts)), np.float64)
+    pack = _as_pack(image_args)
+    out_scores = np.zeros(max(1, pack.total_gt), np.float64)
     n = lib.thresh_scores(
-        _ptr_d(overlaps), _ptr_i(_offsets(ov_counts)),
-        _ptr_d(dt_scores), _ptr_i(_offsets(dt_counts)),
-        _ptr_i(ignored_gt), _ptr_i(_offsets(gt_counts)),
-        _ptr_i(ignored_dt),
-        len(image_args), float(min_overlap),
+        _ptr_d(pack.overlaps), _ptr_i(pack.ov_off),
+        _ptr_d(pack.dt_scores), _ptr_i(pack.dt_off),
+        _ptr_i(pack.ignored_gt), _ptr_i(pack.gt_off),
+        _ptr_i(pack.ignored_dt),
+        pack.n_images, float(min_overlap),
         _ptr_d(out_scores),
     )
     return out_scores[:n]

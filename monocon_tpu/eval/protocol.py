@@ -13,7 +13,7 @@ Annotation dicts: {'name','truncated','occluded','alpha','bbox',
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -70,7 +70,15 @@ def _clean_from_cache(cache: Dict[str, np.ndarray], current_class: int,
 
     Returns (num_valid_gt, ignored_gt, ignored_dt):
       ignored codes: 0 = count, 1 = ignore (neighbors/too-hard), -1 = skip.
+
+    Memoized per (class, difficulty) inside ``cache``: the ignore codes
+    are metric-invariant, so with the cache shared across do_eval's three
+    eval_class calls the bev/3d passes reuse the bbox pass's results.
+    Callers must treat the returned arrays as read-only.
     """
+    memo_key = ("memo", current_class, difficulty)
+    if memo_key in cache:
+        return cache[memo_key]
     cls_name = CLASS_NAMES[current_class].lower()
     names_gt = cache["names_gt"]
 
@@ -95,7 +103,85 @@ def _clean_from_cache(cache: Dict[str, np.ndarray], current_class: int,
         cache["heights_dt"] < MIN_HEIGHT[difficulty], np.int64(1),
         np.where(cache["names_dt"] == cls_name, np.int64(0), np.int64(-1)),
     )
-    return num_valid, ignored_gt, ignored_dt
+    cache[memo_key] = (num_valid, ignored_gt, ignored_dt)
+    return cache[memo_key]
+
+
+def _flat_clean_caches(gt_annos: List[Dict], dt_annos: List[Dict]) -> Dict:
+    """Concatenated clean-data inputs over ALL images, plus offsets.
+
+    The ignore-code assignment (:func:`_clean_from_cache`) is elementwise
+    over objects, so one vectorized pass over the flattened object arrays
+    per (class, difficulty) replaces ``num_images`` Python calls — at
+    val scale (3769 images x 27 (metric,cls,diff) combos) the per-image
+    call overhead alone was ~1.4 s of the evaluator's host time
+    (artifacts/r5/eval_scale.json profile). Results are memoized per
+    (class, difficulty) in ``memo`` — they are metric-invariant, so
+    do_eval's three eval_class calls share them.
+    """
+    def cat(parts, dtype=None):
+        return (np.concatenate(parts) if parts
+                else np.zeros(0, dtype or np.float64))
+
+    names_gt = cat([np.asarray(a["name"], dtype=np.str_)
+                    for a in gt_annos], np.str_)
+    return {
+        "gt_off": np.concatenate(
+            [[0], np.cumsum([len(a["name"]) for a in gt_annos])]
+        ).astype(np.int64),
+        "dt_off": np.concatenate(
+            [[0], np.cumsum([len(a["name"]) for a in dt_annos])]
+        ).astype(np.int64),
+        "names_gt": np.char.lower(names_gt),
+        "heights_gt": cat([a["bbox"][:, 3] - a["bbox"][:, 1]
+                           for a in gt_annos]),
+        "occluded": cat([np.asarray(a["occluded"]) for a in gt_annos],
+                        np.int64),
+        "truncated": cat([np.asarray(a["truncated"]) for a in gt_annos]),
+        "dc": [a["bbox"][np.asarray(a["name"]) == "DontCare"]
+               .astype(np.float64).reshape(-1, 4) for a in gt_annos],
+        "names_dt": np.char.lower(cat([np.asarray(a["name"], dtype=np.str_)
+                                       for a in dt_annos], np.str_)),
+        "heights_dt": cat([np.abs(a["bbox"][:, 3] - a["bbox"][:, 1])
+                           for a in dt_annos]),
+        "memo": {},
+    }
+
+
+def _clean_all_from_flat(flat: Dict, current_class: int, difficulty: int):
+    """Vectorized-over-all-images :func:`_clean_from_cache`: identical
+    ignore semantics (eval.py:35-87), computed on the concatenated object
+    arrays. Returns (total_valid_gt, ignored_gt_flat, ignored_dt_flat);
+    per-image arrays are offset slices of the flats. Memoized per
+    (class, difficulty); callers must treat the arrays as read-only."""
+    key = (current_class, difficulty)
+    if key in flat["memo"]:
+        return flat["memo"][key]
+    cls_name = CLASS_NAMES[current_class].lower()
+    names_gt = flat["names_gt"]
+
+    valid = np.where(names_gt == cls_name, 1, -1)
+    if cls_name == "pedestrian":
+        valid = np.where(names_gt == "person_sitting", 0, valid)
+    elif cls_name == "car":
+        valid = np.where(names_gt == "van", 0, valid)
+    too_hard = (
+        (flat["occluded"] > MAX_OCCLUSION[difficulty])
+        | (flat["truncated"] > MAX_TRUNCATION[difficulty])
+        | (flat["heights_gt"] <= MIN_HEIGHT[difficulty])
+    )
+    counted = (valid == 1) & ~too_hard
+    ignored_gt = np.full(len(names_gt), -1, dtype=np.int64)
+    ignored_gt[counted] = 0
+    ignored_gt[(valid == 0) | ((valid == 1) & too_hard)] = 1
+    total_valid = int(counted.sum())
+
+    ignored_dt = np.where(
+        flat["heights_dt"] < MIN_HEIGHT[difficulty], np.int64(1),
+        np.where(flat["names_dt"] == cls_name, np.int64(0), np.int64(-1)),
+    )
+    flat["memo"][key] = (total_valid, ignored_gt, ignored_dt)
+    return flat["memo"][key]
 
 
 def clean_data(gt: Dict, dt: Dict, current_class: int, difficulty: int):
@@ -346,13 +432,14 @@ def match_image(
     return tp, fp, fn, similarity, np.array(tp_scores)
 
 
-def collect_thresh_scores(image_args: List[Dict], metric: int,
+def collect_thresh_scores(image_args, metric: int,
                           min_overlap: float) -> np.ndarray:
     """Matched-TP scores at thresh=0 across all images — the input to
     :func:`select_thresholds`. Dispatches to the C++ matcher
     (``native.batch_match_scores``); results are identical to running
     :func:`match_image` with ``compute_fp=False`` per image (the
-    reference's numba-JIT loop, eval.py:128-133)."""
+    reference's numba-JIT loop, eval.py:128-133). ``image_args`` is a
+    per-image list of dicts or a prebuilt ``native.FlatPack``."""
     from .native import batch_match_scores
 
     return batch_match_scores(image_args, metric, min_overlap)
@@ -366,9 +453,15 @@ def eval_class(
     metric: int,
     min_overlaps: np.ndarray,   # (num_overlap, metric, class)
     compute_aos: bool = False,
+    caches: Optional[Dict] = None,
 ) -> Dict[str, np.ndarray]:
-    """PR curves per (class, difficulty, overlap) — eval.py:456-574."""
-    from .native import batch_match  # may fall back to Python
+    """PR curves per (class, difficulty, overlap) — eval.py:456-574.
+
+    ``caches``: optional precomputed :func:`_flat_clean_caches` structure —
+    it is metric-invariant (including its per-(class,difficulty) memo), so
+    :func:`kitti_eval.do_eval` builds it once and shares it across the
+    bbox/bev/3d calls instead of paying it 3x at val scale."""
+    from .native import FlatPack, batch_match  # may fall back to Python
 
     assert len(gt_annos) == len(dt_annos)
     num_images = len(gt_annos)
@@ -381,10 +474,11 @@ def eval_class(
     aos = np.zeros(shape)
 
     # Everything except the ignore codes is class/difficulty-invariant:
-    # build the per-image caches and f64 views once, not 9x (a ~5x cut in
-    # the non-matching host time at val scale on a 1-core host).
-    caches = [_clean_cache(gt_annos[i], dt_annos[i])
-              for i in range(num_images)]
+    # build the flat clean inputs, f64 views, and the flattened C++ pack
+    # once, not per (class, difficulty, regime) — at val scale the
+    # re-flattening otherwise dominates the evaluator's host time.
+    if caches is None:
+        caches = _flat_clean_caches(gt_annos, dt_annos)
     image_args = [
         dict(
             overlaps=overlaps[i],
@@ -394,33 +488,30 @@ def eval_class(
             dt_bboxes=dt_annos[i]["bbox"].astype(np.float64),
             ignored_gt=None,
             ignored_dt=None,
-            dc_bboxes=caches[i]["dc"],
+            dc_bboxes=caches["dc"][i],
         )
         for i in range(num_images)
     ]
+    pack = FlatPack(image_args)
 
     for m, cls in enumerate(current_classes):
         for d, difficulty in enumerate(difficultys):
-            total_valid_gt = 0
-            for i in range(num_images):
-                num_valid, ignored_gt, ignored_dt = _clean_from_cache(
-                    caches[i], cls, difficulty
-                )
-                total_valid_gt += num_valid
-                image_args[i]["ignored_gt"] = ignored_gt
-                image_args[i]["ignored_dt"] = ignored_dt
+            total_valid_gt, ig_gt_flat, ig_dt_flat = _clean_all_from_flat(
+                caches, cls, difficulty
+            )
+            pack.set_ignored_flat(ig_gt_flat, ig_dt_flat)
             for k in range(min_overlaps.shape[0]):
                 min_overlap = float(min_overlaps[k, metric, m])
                 if total_valid_gt == 0:
                     continue
                 all_scores = collect_thresh_scores(
-                    image_args, metric, min_overlap
+                    pack, metric, min_overlap
                 )
                 thresholds = select_thresholds(all_scores, total_valid_gt)
                 if len(thresholds) == 0:
                     continue
                 pr = batch_match(
-                    image_args, metric, min_overlap, thresholds, compute_aos
+                    pack, metric, min_overlap, thresholds, compute_aos
                 )  # (T, 4): tp, fp, fn, similarity
                 t = len(thresholds)
                 recall[m, d, k, :t] = pr[:, 0] / (pr[:, 0] + pr[:, 2])

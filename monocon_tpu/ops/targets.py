@@ -26,32 +26,22 @@ PI = math.pi
 import os
 
 
-def _is_axon_tunnel() -> bool:
-    """True when the TPU is reached through the tunneled ``axon`` dev
-    plugin (this sandbox). The tunnel adds pathological host-side launch
-    overhead per pallas_call that more than cancels the kernel's on-device
-    win (574 ms wall vs 151 ms device for the full train step at B=16), so
-    `auto` keeps the dense path there. Real TPU hosts register ``tpu``
-    (libtpu), never ``axon``."""
-    try:
-        import jax._src.xla_bridge as xb
-
-        if "axon" in xb.backends():
-            return True
-        version = getattr(xb.get_backend(), "platform_version", "") or ""
-        return "axon" in version
-    except Exception:
-        return False
-
-
 def resolve_pallas_targets(setting: object = "auto") -> bool:
     """Decide whether target generation uses the Pallas splat kernel.
 
     Precedence: env ``MONOCON_PALLAS_TARGETS=0/1`` overrides everything;
     then an explicit True/False ``setting`` (config ``TPU.PALLAS_TARGETS``);
-    then ``'auto'``: ON for real TPU backends (the kernel is ~8x faster
-    on-device: 3.8 ms vs ~30 ms at B=16), OFF for CPU and for the tunneled
-    ``axon`` dev platform (see `_is_axon_tunnel`).
+    then ``'auto'``: OFF everywhere — the dense jnp path wins on the real
+    chip, measured both standalone and in-context (round-5 device-trace
+    A/B, ``scripts/pallas_train_ab.py``, artifact
+    ``artifacts/r5/pallas_ab.json``): targets-only at B=16 the jnp program
+    is 0.37 ms device vs pallas 3.57 ms (~10x), and the full bf16 train
+    step is 108.2 ms/step (jnp) vs 111.3 ms (pallas). The round-4 auto-ON
+    flip rested on an unrecorded '3.8 vs ~30 ms' comparison that the A/B
+    could not reproduce; round 2's 'plain XLA stays the default' decision
+    was correct. The kernel remains available via explicit config/env for
+    shapes where tile-level support culling could win (e.g. much larger
+    feature maps with sparse objects).
     """
     env = os.environ.get("MONOCON_PALLAS_TARGETS")
     if env is not None:
@@ -68,7 +58,7 @@ def resolve_pallas_targets(setting: object = "auto") -> bool:
         raise ValueError(
             f"TPU.PALLAS_TARGETS must be true/false/'auto', got {setting!r}"
         )
-    return jax.default_backend() == "tpu" and not _is_axon_tunnel()
+    return False
 
 
 def _splat(centers, radius, chan, valid, num_channels, feat_h, feat_w,

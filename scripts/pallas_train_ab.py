@@ -96,6 +96,11 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--quick", action="store_true",
                     help="only the decision-relevant bf16 B=16 rows")
+    ap.add_argument("--grid", default="",
+                    help="comma list of dtype:batch configs to run (e.g. "
+                         "'bfloat16:32,float32:16'), for resuming after a "
+                         "transient tunnel failure; also skips the "
+                         "targets-only rows")
     args = ap.parse_args()
 
     import jax
@@ -118,7 +123,7 @@ def main():
     # -- targets-only kernel A/B (B=16): the '3.8 vs ~30 ms' claim -------
     feat_hw = (PAD_HW[0] // 4, PAD_HW[1] // 4)
     label16 = {k: jnp.asarray(v) for k, v in make_label(16).items()}
-    for name, flag in (("jnp", False), ("pallas", True)):
+    for name, flag in () if args.grid else (("jnp", False), ("pallas", True)):
         fn = jax.jit(lambda lab, f=flag: jax.tree.map(
             lambda x: x.sum(),
             generate_targets(lab, feat_hw, PAD_HW, use_pallas=f)))
@@ -143,6 +148,9 @@ def main():
     grid = [("bfloat16", 16), ("bfloat16", 32), ("float32", 16)]
     if args.quick:
         grid = [("bfloat16", 16)]
+    if args.grid:
+        grid = [(d, int(b)) for d, b in
+                (c.split(":") for c in args.grid.split(","))]
     rng = np.random.default_rng(1)
     for dtype, b in grid:
         model, variables = create_detector_state(

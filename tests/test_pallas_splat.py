@@ -81,8 +81,9 @@ def test_generate_targets_pallas_path(rng):
 
 
 def test_resolve_pallas_targets_dispatch(monkeypatch):
-    """Platform-aware default: env > explicit config > auto (real TPU on,
-    axon tunnel / CPU off)."""
+    """Default resolution: env > explicit config > auto (OFF everywhere —
+    the dense jnp path wins on-chip both standalone and in-context; see
+    resolve_pallas_targets's docstring and artifacts/r5/pallas_ab.json)."""
     import pytest
 
     from monocon_tpu.ops import targets as targets_mod
@@ -94,16 +95,9 @@ def test_resolve_pallas_targets_dispatch(monkeypatch):
     assert resolve(True) is True
     assert resolve(False) is False
 
-    # auto on a real (non-tunneled) TPU backend -> ON.
-    monkeypatch.setattr(targets_mod.jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(targets_mod, "_is_axon_tunnel", lambda: False)
-    assert resolve("auto") is True
-    # auto through the axon tunnel -> OFF (host launch overhead).
-    monkeypatch.setattr(targets_mod, "_is_axon_tunnel", lambda: True)
+    # auto -> OFF on every platform (measured decision, round 5).
     assert resolve("auto") is False
-    # auto on CPU -> OFF.
-    monkeypatch.setattr(targets_mod.jax, "default_backend", lambda: "cpu")
-    monkeypatch.setattr(targets_mod, "_is_axon_tunnel", lambda: False)
+    monkeypatch.setattr(targets_mod.jax, "default_backend", lambda: "tpu")
     assert resolve("auto") is False
 
     # Env var overrides everything, including explicit config.
@@ -115,14 +109,3 @@ def test_resolve_pallas_targets_dispatch(monkeypatch):
     monkeypatch.delenv("MONOCON_PALLAS_TARGETS", raising=False)
     with pytest.raises(ValueError):
         resolve("definitely-not-a-setting")
-
-
-def test_axon_tunnel_detected_here():
-    """On this CPU test mesh there is no axon plugin: auto must be OFF via
-    the backend check (sanity for the real dispatch path, no mocks)."""
-    from monocon_tpu.ops.targets import resolve_pallas_targets
-
-    import os
-
-    if os.environ.get("MONOCON_PALLAS_TARGETS") is None:
-        assert resolve_pallas_targets("auto") is False
