@@ -125,7 +125,11 @@ class DataLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.num_workers = max(1, num_workers)
+        # 0 = load samples synchronously in the producer thread (torch
+        # DataLoader semantics). On a single-core host the worker pool is
+        # pure GIL contention: 100 img/s serial vs 62 threaded, measured
+        # in artifacts/r5/train_input.json — prefer 0 there.
+        self.num_workers = max(0, num_workers)
         self.drop_last = drop_last
         self.pad_hw = pad_hw
         self.seed = seed
@@ -220,15 +224,21 @@ class DataLoader:
 
         def producer():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                pool = (ThreadPoolExecutor(self.num_workers)
+                        if self.num_workers > 0 else None)
+                try:
                     for bi, start in enumerate(batch_starts):
                         if stop.is_set():
                             return
                         idxs = order[start:start + self.batch_size]
-                        samples = list(
-                            pool.map(self._load_one, idxs,
-                                     range(start, start + len(idxs)))
-                        )
+                        positions = range(start, start + len(idxs))
+                        if pool is None:
+                            samples = [self._load_one(i, p)
+                                       for i, p in zip(idxs, positions)]
+                        else:
+                            samples = list(
+                                pool.map(self._load_one, idxs, positions)
+                            )
                         num_valid = len(samples)
                         if (self.pad_to_batch
                                 and num_valid < self.batch_size):
@@ -250,6 +260,9 @@ class DataLoader:
                             batch = self.device_put_fn(batch)
                             retire_or_track(slot, host_img, batch)
                         out_q.put(batch)
+                finally:
+                    if pool is not None:
+                        pool.shutdown(wait=False)
                 out_q.put(None)
             except BaseException as exc:  # propagate to the consumer
                 out_q.put(exc)

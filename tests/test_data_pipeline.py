@@ -237,6 +237,27 @@ def test_collate_and_loader(kitti_root):
     np.testing.assert_array_equal(b1["img"], b2["img"])
 
 
+def test_loader_sync_mode_matches_threaded(kitti_root):
+    """num_workers=0 (synchronous sample loading, the 1-core-host mode)
+    must yield bit-identical batches to the threaded pool: ordering and
+    per-sample augmentation RNG are derived from (seed, epoch, position),
+    never from worker scheduling."""
+    ds = MonoConDataset(kitti_root, "train")
+    kw = dict(batch_size=3, shuffle=True, pad_hw=(96, 320), seed=7)
+    for epoch in (0, 2):
+        threaded = DataLoader(ds, num_workers=2, **kw)
+        threaded.set_epoch(epoch)
+        sync = DataLoader(ds, num_workers=0, **kw)
+        sync.set_epoch(epoch)
+        pairs = list(zip(threaded, sync))
+        assert pairs
+        for bt, bs in pairs:
+            np.testing.assert_array_equal(bt["img"], bs["img"])
+            np.testing.assert_array_equal(
+                bt["label"]["gt_bboxes"], bs["label"]["gt_bboxes"]
+            )
+
+
 def test_loader_staging_ring_correctness(kitti_root):
     """The H2D staging-canvas ring must never corrupt batches: with
     staging='force' and a copying device_put_fn, every batch's device
