@@ -126,9 +126,13 @@ class DataLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         # 0 = load samples synchronously in the producer thread (torch
-        # DataLoader semantics). On a single-core host the worker pool is
-        # pure GIL contention: 100 img/s serial vs 62 threaded, measured
-        # in artifacts/r5/train_input.json — prefer 0 there.
+        # DataLoader semantics, same determinism contract — tested
+        # bit-identical to threaded). Measured on the shared 1-core host
+        # (artifacts/r5/train_input{,_run2}.json, cached loader): threaded
+        # 79.7/56.0 img/s vs sync 56.8/58.3 across two runs — a wash
+        # within that host's noise, because cv2/numpy release the GIL;
+        # on multi-core hosts threads win outright. 0 exists for torch
+        # parity and for profiling the pipeline without thread scheduling.
         self.num_workers = max(0, num_workers)
         self.drop_last = drop_last
         self.pad_hw = pad_hw

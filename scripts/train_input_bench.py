@@ -132,8 +132,10 @@ def sustained_loader(root: str, cache_dir: str, epochs_warm: int = 2) -> dict:
     for tag, cache, workers in (
         ("nocache", "", 4),
         ("cache", cache_dir + "_sustained", 4),
-        # num_workers=0 (synchronous): on a 1-core host the thread pool
-        # is pure GIL contention, so this is the honest 1-core ceiling.
+        # num_workers=0 (synchronous, torch semantics): measures the
+        # pipeline without thread scheduling. Measured: a wash vs
+        # threaded on this 1-core host (cv2/numpy release the GIL), so
+        # report both and take the max as the 1-core rate.
         ("cache_sync", cache_dir + "_sustained", 0),
     ):
         ds = MonoConDataset(
